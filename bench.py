@@ -1,0 +1,157 @@
+"""Headline benchmark: query+scoring throughput, images/sec/chip.
+
+Measures the full per-query-image inference cost of the NOPE pipeline on
+the flagship model (192-dim pose-conditioned U-Net, SD-VAE f8 latents,
+26-template fast-eval grid — BASELINE.md "fast vs full eval"):
+
+    per image = VAE encode(reference) + N U-Net forwards (template bank)
+              + VAE encode(query) + (B, N) similarity + top-k
+
+Two execution models of the SAME work run on the SAME chip:
+
+- ``baseline``  — the reference's execution shape (SURVEY §3.2): a
+  sequential Python loop over templates, re-encoding the reference
+  image every iteration, unbatched fp32 similarity at the end.
+- ``optimized`` — this framework's path: one batched jitted program
+  (encode once, template axis folded into the batch, fused retrieval).
+
+``vs_baseline`` is the throughput ratio optimized/baseline, i.e. the
+measured speedup toward the BASELINE.json >=10x north star.
+
+Prints exactly one JSON line.  ``--tiny`` shrinks the model for smoke
+runs on CPU; real numbers come from the driver's TPU run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def build(tiny: bool):
+    import jax
+    import jax.numpy as jnp
+    from nope_tpu.models.unet import PoseUNet
+    from nope_tpu.models.vae import StableDiffusionVAE
+    from nope_tpu.tasks.pose_conditional import PoseConditionalTask, TaskConfig
+    from nope_tpu.geometry import so3_grid, rotations, transforms
+
+    if tiny:
+        img, unet_dim, mults, groups = 32, 8, (1, 2), 4
+        vae_kw = dict(block_out_channels=(8, 8, 8, 8), layers_per_block=1,
+                      latent_channels=4, groups=4)
+        n_templates = 8
+        batch = 2
+    else:
+        img, unet_dim, mults, groups = 256, 192, (1, 2, 4, 8), 8
+        vae_kw = dict()  # full SD VAE
+        n_templates = 26  # fast-eval grid (idx_upper_level0_in_level2)
+        batch = 4
+
+    unet = PoseUNet(u_net_dim=unet_dim, channels=4, dim_mults=mults,
+                    resnet_block_groups=groups)
+    vae = StableDiffusionVAE(**vae_kw)
+    task = PoseConditionalTask(unet, vae, TaskConfig())
+    params = task.init(jax.random.key(0), image_size=img)
+
+    rng = np.random.default_rng(0)
+    reference = jnp.asarray(rng.uniform(-1, 1, (batch, img, img, 3)).astype(np.float32))
+    query = jnp.asarray(rng.uniform(-1, 1, (batch, img, img, 3)).astype(np.float32))
+
+    # real grid ΔRs for the fast-eval template set
+    grid = so3_grid.load_obj_poses(0)[:, :3, :3].astype(np.float32)
+    sel = grid[:n_templates]
+    rel = transforms.relative_rotation_jax(
+        jnp.asarray(sel)[None].repeat(batch, 0),
+        jnp.broadcast_to(jnp.asarray(grid[0]), (batch, n_templates, 3, 3)),
+    )
+    bank_R = rotations.matrix_to_rotation_6d(rel)
+    return task, params, reference, query, bank_R
+
+
+def time_fn(fn, *args, iters=3, warmup=1):
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    from nope_tpu.utils.env import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    from nope_tpu.ops.similarity import retrieve
+
+    task, params, reference, query, bank_R = build(args.tiny)
+    batch, n_templates = bank_R.shape[0], bank_R.shape[1]
+
+    # ---- optimized: one jitted program ---------------------------------
+    @jax.jit
+    def optimized(params, reference, query, bank_R):
+        bank = task.generate_template_bank(params, reference, bank_R)
+        sim, idx = task.retrieval(params, query, bank)
+        return sim, idx
+
+    t_opt = time_fn(optimized, params, reference, query, bank_R, iters=args.iters)
+
+    # ---- baseline: reference execution shape ----------------------------
+    # one template at a time, re-encoding the reference every iteration
+    # (model.py:193-252 + sample() at model.py:113-121), per-image loop
+    @jax.jit
+    def ref_one_template(params, reference_1, relativeR_1):
+        ref_latent = task.encode(params, reference_1, "mode")  # re-encoded!
+        return task.predict_latent(params, ref_latent, relativeR_1)
+
+    @jax.jit
+    def ref_score(params, query_1, bank_1):
+        q = task.encode(params, query_1, "mode")
+        return retrieve(q, bank_1, k=5, metric="l2")
+
+    def baseline(params, reference, query, bank_R):
+        outs = []
+        for b in range(batch):
+            preds = [
+                ref_one_template(params, reference[b : b + 1], bank_R[b : b + 1, i])
+                for i in range(n_templates)
+            ]
+            bank_1 = jnp.stack(preds, axis=1)
+            outs.append(ref_score(params, query[b : b + 1], bank_1))
+        return outs
+
+    t_base = time_fn(baseline, params, reference, query, bank_R, iters=max(1, args.iters // 3))
+
+    imgs_per_sec = batch / t_opt
+    base_imgs_per_sec = batch / t_base
+    print(
+        json.dumps(
+            {
+                "metric": "query+scoring images/sec/chip "
+                          f"(N={n_templates} templates, batch={batch})",
+                "value": round(imgs_per_sec, 4),
+                "unit": "images/sec",
+                "vs_baseline": round(imgs_per_sec / base_imgs_per_sec, 3),
+                "baseline_images_per_sec": round(base_imgs_per_sec, 4),
+                "backend": jax.default_backend(),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Device mesh construction and sharding specs.
+
+The reference's only parallelism is Lightning DDP over NCCL
+(``configs/machine/trainer/local.yaml:12``, SURVEY §2.8).  The TPU-native
+replacement is a 2-axis ``jax.sharding.Mesh``:
+
+- ``data``     — batch-parallel training (the DDP analogue).  Gradient
+  reduction becomes a compiler-scheduled ``psum`` inside the jitted
+  train step; no NCCL, no Lightning.
+- ``template`` — the eval-time analogue of sequence parallelism: the
+  SO(3) template bank (N = 26..2562 viewpoints) is embarrassingly
+  parallel, so the batched U-Net sweep and the HBM-resident bank are
+  sharded over this axis (SURVEY §5 "long-context" discussion).
+
+Multi-host: call :func:`initialize_distributed` first (wraps
+``jax.distributed.initialize``); mesh axes then span all processes with
+ICI inside a slice and DCN across hosts.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+TEMPLATE_AXIS = "template"
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host process-group init (replaces the SLURM/NCCL wiring at
+    ``train.py:39-41``).  Safe to call unconditionally: jax auto-detects
+    cluster environments (SLURM, GKE, Cloud TPU); on a plain single
+    process this is a no-op."""
+    import os
+
+    cluster_hints = ("COORDINATOR_ADDRESS", "SLURM_JOB_ID", "JAX_COORDINATOR_ADDRESS")
+    if not kwargs and not any(h in os.environ for h in cluster_hints):
+        return
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError:  # already initialised
+        pass
+
+
+def create_mesh(
+    data: Optional[int] = None,
+    template: int = 1,
+    devices: Optional[Sequence[Any]] = None,
+) -> Mesh:
+    """Build a (data, template) mesh.  By default all devices go to the
+    data axis; pass ``template=k`` to carve out template parallelism for
+    eval-heavy workloads."""
+    devices = list(devices if devices is not None else jax.devices())
+    if data is None:
+        data = len(devices) // template
+    if data * template != len(devices):
+        raise ValueError(
+            f"mesh {data}x{template} != {len(devices)} devices"
+        )
+    dev_array = np.asarray(devices).reshape(data, template)
+    return Mesh(dev_array, (DATA_AXIS, TEMPLATE_AXIS))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def template_sharding(mesh: Mesh, axis: int = 1, ndim: int = 2) -> NamedSharding:
+    """Shard a bank-like array's template axis (default axis 1 of
+    (B, N, ...))."""
+    spec = [None] * ndim
+    spec[axis] = TEMPLATE_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Place a pytree of host arrays with the leading axis sharded over
+    the data axis (and everything else replicated)."""
+    def _put(x):
+        import jax.numpy as jnp
+
+        x = jnp.asarray(x)
+        return jax.device_put(x, data_sharding(mesh, x.ndim))
+
+    return jax.tree.map(_put, batch)

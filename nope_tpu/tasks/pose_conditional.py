@@ -1,0 +1,258 @@
+"""The pose-conditional task model.
+
+Functional JAX re-design of the reference's ``PoseConditional``
+LightningModule (``/root/reference/src/model/model.py:32-576``): given a
+frozen VAE and a pose-conditioned U-Net, predict the VAE latent a query
+view *would* have from (reference latent, ΔR), train with L1/L2/KL
+latent losses, and at eval time sweep ΔR over an SO(3) template grid to
+build a template bank that queries are scored against.
+
+TPU-first changes vs the reference's execution model (all math-neutral
+unless noted):
+
+- **Batched template sweep.**  ``generate_template_bank`` folds the
+  template axis into the batch and runs chunks of U-Net forwards as one
+  jitted ``lax.map`` — replacing the reference's sequential Python loop
+  (``model.py:212``), and encoding the reference image **once** instead
+  of once per template (``model.py:113-121``).
+- **Single-pass symmetrized loss.**  With ``use_inv_deltaR`` the two
+  loss directions share VAE encodes (each image is encoded once) and the
+  two U-Net forwards are stacked into one doubled batch; identical math
+  because both directions are equal-size means (``model.py:126-137``).
+- **Retrieval** runs through :mod:`nope_tpu.ops.similarity` (fused
+  Pallas kernel on TPU) with the reference's exact scoring quirk.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nope_tpu.models.distributions import DiagonalGaussian
+from nope_tpu.ops.similarity import retrieve
+from nope_tpu.tasks.metrics import GeodesicError
+
+
+@dataclasses.dataclass(frozen=True)
+class TaskConfig:
+    """Mirrors ``optim_config`` + ``testing_config`` of the reference
+    model configs (``configs/model/vae_base.yaml:18-26``)."""
+
+    loss_type: str = "l1"  # l1 | l2 | kl
+    use_inv_deltaR: bool = True
+    similarity_metric: str = "l2"  # reference-quirk metric (see ops.similarity)
+    retrieval_k: int = 5
+    using_KL: bool = False
+
+
+class PoseConditionalTask:
+    """Stateless task logic around a (U-Net, VAE) pair.
+
+    Parameters are carried explicitly as ``{"unet": ..., "vae": ...}``
+    pytrees; the VAE subtree is frozen (zero gradient) exactly like the
+    reference's no-grad encoder.
+    """
+
+    def __init__(self, unet, vae, config: TaskConfig = TaskConfig()):
+        self.unet = unet
+        self.vae = vae
+        self.config = config
+        self.metric = GeodesicError()
+
+    # -- initialisation ----------------------------------------------------
+
+    def init(self, key: jax.Array, image_size: int = 256) -> Dict[str, Any]:
+        k1, k2 = jax.random.split(key)
+        latent = image_size // 8
+        vae_vars = self.vae.init(k1, jnp.zeros((1, image_size, image_size, 3)))
+        unet_vars = self.unet.init(
+            k2,
+            jnp.zeros((1, latent, latent, self.unet.channels)),
+            jnp.zeros((1, self.unet.rot_representation_dim)),
+        )
+        return {"unet": unet_vars["params"], "vae": vae_vars["params"]}
+
+    # -- building blocks ----------------------------------------------------
+
+    def encode(self, params, images: jax.Array, mode: Optional[str] = "mode"):
+        """VAE encode, stop-gradient (frozen encoder, ``model.py:107-108``)."""
+        out = self.vae.apply(
+            {"params": params["vae"]}, images, mode, method=self.vae.encode_image
+        )
+        if isinstance(out, DiagonalGaussian):
+            return DiagonalGaussian(
+                jax.lax.stop_gradient(out.mean), jax.lax.stop_gradient(out.logvar)
+            )
+        return jax.lax.stop_gradient(out)
+
+    def decode(self, params, latents: jax.Array) -> jax.Array:
+        return self.vae.apply(
+            {"params": params["vae"]}, latents, method=self.vae.decode_latent
+        )
+
+    def predict_latent(self, params, ref_latent: jax.Array, relativeR: jax.Array):
+        """U-Net: (reference latent, ΔR) → predicted query latent."""
+        return self.unet.apply({"params": params["unet"]}, ref_latent, relativeR)
+
+    def _latent_loss(self, pred: jax.Array, target) -> jax.Array:
+        """L1/L2 mean, or Gaussian-KL when the query was encoded as a
+        distribution (``model.py:96-104``)."""
+        cfg = self.config
+        if cfg.loss_type == "l1":
+            return jnp.mean(jnp.abs(pred - target))
+        if cfg.loss_type == "l2":
+            return jnp.mean(jnp.square(pred - target))
+        if cfg.loss_type == "kl":
+            pred_dist = DiagonalGaussian.from_parameters(pred)
+            return jnp.mean(pred_dist.kl(other=target))
+        raise ValueError(cfg.loss_type)
+
+    # -- training ------------------------------------------------------------
+
+    def forward_loss(
+        self, params, query: jax.Array, reference: jax.Array, relativeR: jax.Array
+    ) -> jax.Array:
+        """Single-direction loss (``model.py:106-111``)."""
+        target = self.encode(params, query, None if self.config.using_KL else "mode")
+        ref_latent = self.encode(params, reference, "mode")
+        pred = self.predict_latent(params, ref_latent, relativeR)
+        return self._latent_loss(pred, target)
+
+    def train_loss(self, params, batch: Dict[str, jax.Array]) -> jax.Array:
+        """Symmetrized training loss for one dataset's batch
+        (``model.py:126-137``).  Expects keys query/reference/relativeR
+        (+relativeR_inv when use_inv_deltaR)."""
+        query, reference = batch["query"], batch["reference"]
+        if not self.config.use_inv_deltaR:
+            return self.forward_loss(params, query, reference, batch["relativeR"])
+        if self.config.using_KL:
+            # KL needs per-direction distribution targets; run both
+            # directions separately (reference layout).
+            loss_fwd = self.forward_loss(params, query, reference, batch["relativeR"])
+            loss_inv = self.forward_loss(params, reference, query, batch["relativeR_inv"])
+            return (loss_fwd + loss_inv) / 2
+        # mode-encoding path: each image encoded exactly once, both
+        # U-Net directions stacked into one doubled batch — same means.
+        q_lat = self.encode(params, query, "mode")
+        r_lat = self.encode(params, reference, "mode")
+        inputs = jnp.concatenate([r_lat, q_lat], axis=0)
+        poses = jnp.concatenate([batch["relativeR"], batch["relativeR_inv"]], axis=0)
+        targets = jnp.concatenate([q_lat, r_lat], axis=0)
+        pred = self.predict_latent(params, inputs, poses)
+        return self._latent_loss(pred, targets)
+
+    def multi_dataset_loss(
+        self, params, batches: Dict[str, Dict[str, jax.Array]]
+    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        """Average loss over the per-dataset dict a combined loader
+        yields each step (``model.py:169-182``)."""
+        losses = {name: self.train_loss(params, b) for name, b in batches.items()}
+        avg = sum(losses.values()) / len(losses)
+        return avg, losses
+
+    # -- inference -----------------------------------------------------------
+
+    def sample(self, params, reference: jax.Array, relativeR: jax.Array,
+               decode_rgb: bool = False):
+        """No-grad prediction (+ optional RGB decode) (``model.py:113-124``)."""
+        ref_latent = self.encode(params, reference, "mode")
+        pred = self.predict_latent(params, ref_latent, relativeR)
+        rgb = None
+        if decode_rgb:
+            rgb = jnp.clip((self.decode(params, pred) + 1.0) * 0.5, 0.0, 1.0)
+        return pred, rgb
+
+    def generate_template_bank(
+        self,
+        params,
+        reference: jax.Array,
+        bank_relativeR: jax.Array,
+        chunk_size: Optional[int] = None,
+        reference_latent: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Predicted latent bank for all template rotations.
+
+        reference: (B, H, W, 3) images (or pass ``reference_latent``
+        directly); bank_relativeR: (B, N, pose_dim).  Returns
+        (B, N, h8, w8, C).  The N axis is processed in jitted chunks of
+        ``chunk_size`` templates per device program — replacing the
+        reference's per-template Python loop + re-encode
+        (``model.py:193-252``).
+        """
+        if reference_latent is None:
+            reference_latent = self.encode(params, reference, "mode")
+        b = reference_latent.shape[0]
+        n = bank_relativeR.shape[1]
+        h, w, c = reference_latent.shape[1:]
+
+        if chunk_size is None or chunk_size >= n:
+            flat_ref = jnp.repeat(reference_latent, n, axis=0)
+            flat_pose = bank_relativeR.reshape(b * n, -1)
+            pred = self.predict_latent(params, flat_ref, flat_pose)
+            return pred.reshape(b, n, h, w, pred.shape[-1])
+
+        if n % chunk_size:
+            raise ValueError(f"chunk_size {chunk_size} must divide bank size {n}")
+        num_chunks = n // chunk_size
+        # (num_chunks, B*chunk, pose_dim): scan over chunks, batch within
+        poses = bank_relativeR.reshape(b, num_chunks, chunk_size, -1)
+        poses = jnp.swapaxes(poses, 0, 1).reshape(num_chunks, b * chunk_size, -1)
+        flat_ref = jnp.repeat(reference_latent, chunk_size, axis=0)
+
+        def chunk_fn(pose_chunk):
+            return self.predict_latent(params, flat_ref, pose_chunk)
+
+        pred = jax.lax.map(chunk_fn, poses)  # (num_chunks, B*chunk, h, w, C)
+        pred = pred.reshape(num_chunks, b, chunk_size, h, w, pred.shape[-1])
+        return jnp.swapaxes(pred, 0, 1).reshape(b, n, h, w, pred.shape[-1])
+
+    def retrieval(
+        self, params, query: jax.Array, template_bank: jax.Array,
+        query_latent: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Score query against the bank; (similarity (B,N), top-k idx)
+        (``model.py:254-266``)."""
+        if query_latent is None:
+            query_latent = self.encode(params, query, "mode")
+        return retrieve(
+            query_latent,
+            template_bank,
+            k=self.config.retrieval_k,
+            metric=self.config.similarity_metric,
+        )
+
+    # -- evaluation ----------------------------------------------------------
+
+    def eval_geodesic_step(
+        self, params, batch: Dict[str, jax.Array], chunk_size: Optional[int] = None
+    ) -> Dict[str, Any]:
+        """Device portion of the geodesic eval (``model.py:268-376``):
+        loss, template bank, retrieval, symmetry-aware accuracy.
+
+        ``batch`` keys: query, reference, gt_relativeR, all_relativeR
+        (B, N, pose_dim), query_pose (B, 3, 3), template_poses
+        (B, N, 3, 3) (shared grid), symmetry (B,).
+        """
+        loss = self.forward_loss(
+            params, batch["query"], batch["reference"], batch["gt_relativeR"]
+        )
+        bank = self.generate_template_bank(
+            params, batch["reference"], batch["all_relativeR"], chunk_size=chunk_size
+        )
+        similarity, nearest = self.retrieval(params, batch["query"], bank)
+
+        template_poses = batch["template_poses"][0]  # grid shared across batch
+        pred_R = template_poses[nearest]  # (B, k, 3, 3)
+        error, acc = self.metric(
+            pred_R, batch["query_pose"], jnp.reshape(batch["symmetry"], (-1,))
+        )
+        return {
+            "loss": loss,
+            "similarity": similarity,
+            "nearest_idx": nearest,
+            "error_deg": error,
+            **acc,
+        }

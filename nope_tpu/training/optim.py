@@ -1,0 +1,60 @@
+"""Optimizer + LR schedule matching the reference recipe.
+
+Reference (``/root/reference/src/model/model.py:70-94``;
+``configs/model/vae_base.yaml:18-24``):
+
+- AdamW, lr 5e-5, weight_decay 5e-4 (SGD+momentum 0.9 as alternative)
+- linear warm-up: lr = step / warm_up_steps * base_lr for the first
+  ``warm_up_steps`` optimizer steps (500 by default)
+- MultiStepLR over *epochs*: x0.5 at epochs [10, 30, 50, 100]
+
+The epoch-indexed milestones are converted to steps via
+``steps_per_epoch`` (the reference steps its scheduler once per epoch).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import optax
+
+
+def make_lr_schedule(
+    base_lr: float = 5e-5,
+    warm_up_steps: int = 500,
+    milestones_epochs: Sequence[int] = (10, 30, 50, 100),
+    gamma: float = 0.5,
+    steps_per_epoch: Optional[int] = None,
+) -> optax.Schedule:
+    boundaries = {}
+    if steps_per_epoch:
+        boundaries = {
+            int(e * steps_per_epoch): gamma for e in milestones_epochs
+        }
+    decay = optax.piecewise_constant_schedule(base_lr, boundaries)
+    if warm_up_steps <= 0:
+        return decay
+    warmup = optax.linear_schedule(0.0, base_lr, warm_up_steps)
+    return optax.join_schedules([warmup, decay], [warm_up_steps])
+
+
+def make_optimizer(
+    optim_name: str = "AdamW",
+    base_lr: float = 5e-5,
+    weight_decay: float = 5e-4,
+    warm_up_steps: int = 500,
+    milestones_epochs: Sequence[int] = (10, 30, 50, 100),
+    gamma: float = 0.5,
+    steps_per_epoch: Optional[int] = None,
+) -> optax.GradientTransformation:
+    schedule = make_lr_schedule(
+        base_lr, warm_up_steps, milestones_epochs, gamma, steps_per_epoch
+    )
+    if optim_name == "SGD":
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.sgd(schedule, momentum=0.9),
+        )
+    if optim_name == "AdamW":
+        return optax.adamw(schedule, weight_decay=weight_decay)
+    raise ValueError(optim_name)

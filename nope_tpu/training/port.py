@@ -1,0 +1,299 @@
+"""PyTorch → Flax weight porting.
+
+Replaces the reference's checkpoint surgery
+(``/root/reference/src/utils/weight.py:6-37``: prefix remap +
+shape-filtered partial load) with explicit, audited layout conversion:
+
+- Conv2d kernels:          OIHW → HWIO
+- Linear kernels:          (O, I) → (I, O)
+- ConvTranspose2d kernels: (I, O, kh, kw) → HWIO with
+  ``transpose_kernel=True`` on the Flax side
+- GroupNorm/Norm scale+bias: copied as-is (grouping order matches)
+
+Entry points take a flat ``{torch_key: np.ndarray}`` state dict (use
+:func:`load_torch_state_dict` for ``.pth``/``.bin`` files) and return a
+Flax params pytree for the corresponding ``nope_tpu.models`` module.
+
+Key layouts supported:
+- :func:`port_pose_unet` — the reference's default U-Net
+  (``src/model/u_net/denoising_diffusion_pytorch/u_net.py`` module
+  naming: ``downs.{i}.{0..3}``, ``mid_*``, ``ups.{i}.{0..3}``, ...).
+- :func:`port_sd_vae` — diffusers ``AutoencoderKL`` checkpoints (both
+  the 0.14-era ``query/key/value/proj_attn`` attention naming and the
+  newer ``to_q/to_k/to_v/to_out.0``).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Mapping, Sequence
+
+import numpy as np
+
+Array = np.ndarray
+StateDict = Mapping[str, Array]
+
+
+def load_torch_state_dict(path: str, checkpoint_key: str | None = None,
+                          prefix: str = "") -> Dict[str, Array]:
+    """Read a torch checkpoint into numpy (CPU, no grad), optionally
+    descending into ``checkpoint_key`` and stripping ``prefix`` —
+    the knobs ``weight.py:6-14`` exposes."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if checkpoint_key is not None:
+        ckpt = ckpt[checkpoint_key]
+    out = {}
+    for k, v in ckpt.items():
+        if prefix and k.startswith(prefix):
+            k = k[len(prefix):]
+        if hasattr(v, "detach"):
+            out[k] = v.detach().cpu().numpy()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# primitive converters
+# ---------------------------------------------------------------------------
+
+
+def conv_kernel(w: Array) -> Array:
+    """OIHW → HWIO."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def conv_transpose_kernel(w: Array) -> Array:
+    """torch ConvTranspose2d (I, O, kh, kw) → flax ``transpose_kernel=True``
+    layout (kh, kw, O, I)."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def linear_kernel(w: Array) -> Array:
+    """(O, I) → (I, O)."""
+    return np.transpose(w, (1, 0))
+
+
+def _conv(sd: StateDict, key: str) -> dict:
+    p = {"kernel": conv_kernel(sd[f"{key}.weight"])}
+    if f"{key}.bias" in sd:
+        p["bias"] = sd[f"{key}.bias"]
+    return p
+
+
+def _dense_from_conv1x1(sd: StateDict, key: str) -> dict:
+    """1x1 Conv2d weights → Dense params (used by VAE attention)."""
+    w = sd[f"{key}.weight"]
+    if w.ndim == 4:
+        w = w[:, :, 0, 0]
+    p = {"kernel": linear_kernel(w)}
+    if f"{key}.bias" in sd:
+        p["bias"] = sd[f"{key}.bias"]
+    return p
+
+
+def _linear(sd: StateDict, key: str) -> dict:
+    p = {"kernel": linear_kernel(sd[f"{key}.weight"])}
+    if f"{key}.bias" in sd:
+        p["bias"] = sd[f"{key}.bias"]
+    return p
+
+
+def _norm(sd: StateDict, key: str) -> dict:
+    return {"scale": sd[f"{key}.weight"], "bias": sd[f"{key}.bias"]}
+
+
+# ---------------------------------------------------------------------------
+# default pose U-Net
+# ---------------------------------------------------------------------------
+
+
+def _resnet_block(sd: StateDict, key: str, with_mlp: bool = True) -> dict:
+    out = {
+        "block1": {"proj": _conv(sd, f"{key}.block1.proj"),
+                   "norm": _norm(sd, f"{key}.block1.norm")},
+        "block2": {"proj": _conv(sd, f"{key}.block2.proj"),
+                   "norm": _norm(sd, f"{key}.block2.norm")},
+    }
+    if with_mlp and f"{key}.mlp.1.weight" in sd:
+        out["mlp_dense"] = _linear(sd, f"{key}.mlp.1")
+    if f"{key}.res_conv.weight" in sd:
+        out["res_conv"] = _conv(sd, f"{key}.res_conv")
+    return out
+
+
+def _attn_block(sd: StateDict, key: str, linear_attention: bool) -> dict:
+    """Residual(PreNorm(Linear/Full Attention)) subtree: reference keys
+    ``{key}.fn.norm`` (PreNorm GN) and ``{key}.fn.fn.*`` map onto our
+    fused ``ResidualPreNormAttention`` {norm, attn} params."""
+    inner: dict = {"to_qkv": {"kernel": conv_kernel(sd[f"{key}.fn.fn.to_qkv.weight"])}}
+    if linear_attention:
+        inner["to_out_conv"] = _conv(sd, f"{key}.fn.fn.to_out.0")
+        inner["to_out_norm"] = _norm(sd, f"{key}.fn.fn.to_out.1")
+    else:
+        inner["to_out"] = _conv(sd, f"{key}.fn.fn.to_out")
+    return {"norm": _norm(sd, f"{key}.fn.norm"), "attn": inner}
+
+
+def port_pose_unet(
+    sd: StateDict,
+    dim_mults: Sequence[int] = (1, 2, 4, 8),
+    use_hard_up_down: bool = True,
+    pose_mlp_name: str = "single_layer",
+) -> dict:
+    """Reference default-U-Net state dict → ``PoseUNet`` params.
+
+    Note: the reference's ``final_conv.0`` ResnetBlock carries an ``mlp``
+    that is never called (``u_net.py:154-157`` wraps it in nn.Sequential
+    which passes no embedding); those dead weights are intentionally
+    dropped here.
+    """
+    num = len(dim_mults)
+    params: dict = {
+        "init_conv": _conv(sd, "init_conv"),
+        "final_res_block": _resnet_block(sd, "final_res_block"),
+        "final_conv_block": _resnet_block(sd, "final_conv.0", with_mlp=False),
+        "final_conv_out": _conv(sd, "final_conv.1"),
+        "mid_block1": _resnet_block(sd, "mid_block1"),
+        "mid_block2": _resnet_block(sd, "mid_block2"),
+        "mid_attn": _attn_block(sd, "mid_attn", linear_attention=False),
+    }
+    if pose_mlp_name == "single_layer":
+        params["pose_mlp"] = {"fc0": _linear(sd, "pose_mlp.0")}
+    elif pose_mlp_name == "two_layers":
+        params["pose_mlp"] = {"fc0": _linear(sd, "pose_mlp.0"),
+                              "fc1": _linear(sd, "pose_mlp.2")}
+    elif pose_mlp_name != "posEncoding":  # posEncoding has no params
+        raise ValueError(pose_mlp_name)
+
+    for i in range(num):
+        params[f"downs_{i}_block1"] = _resnet_block(sd, f"downs.{i}.0")
+        params[f"downs_{i}_block2"] = _resnet_block(sd, f"downs.{i}.1")
+        params[f"downs_{i}_attn"] = _attn_block(sd, f"downs.{i}.2", True)
+        is_last = i == num - 1
+        if is_last:
+            params[f"downs_{i}_down"] = _conv(sd, f"downs.{i}.3")
+        elif use_hard_up_down:
+            # HardDownsample = Sequential(Rearrange, Conv1x1) → index 1
+            params[f"downs_{i}_down"] = {"conv": _conv(sd, f"downs.{i}.3.1")}
+        else:
+            params[f"downs_{i}_down"] = {"conv": _conv(sd, f"downs.{i}.3")}
+
+        params[f"ups_{i}_block1"] = _resnet_block(sd, f"ups.{i}.0")
+        params[f"ups_{i}_block2"] = _resnet_block(sd, f"ups.{i}.1")
+        params[f"ups_{i}_attn"] = _attn_block(sd, f"ups.{i}.2", True)
+        if is_last:
+            params[f"ups_{i}_up"] = _conv(sd, f"ups.{i}.3")
+        elif use_hard_up_down:
+            # HardUpsample = Sequential(Upsample, Conv3x3) → index 1
+            params[f"ups_{i}_up"] = {"conv": _conv(sd, f"ups.{i}.3.1")}
+        else:
+            k = f"ups.{i}.3"
+            params[f"ups_{i}_up"] = {
+                "conv": {
+                    "kernel": conv_transpose_kernel(sd[f"{k}.weight"]),
+                    "bias": sd[f"{k}.bias"],
+                }
+            }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# SD VAE (diffusers AutoencoderKL)
+# ---------------------------------------------------------------------------
+
+
+def _vae_resnet(sd: StateDict, key: str) -> dict:
+    out = {
+        "norm1": _norm(sd, f"{key}.norm1"),
+        "conv1": _conv(sd, f"{key}.conv1"),
+        "norm2": _norm(sd, f"{key}.norm2"),
+        "conv2": _conv(sd, f"{key}.conv2"),
+    }
+    if f"{key}.conv_shortcut.weight" in sd:
+        out["conv_shortcut"] = _conv(sd, f"{key}.conv_shortcut")
+    elif f"{key}.nin_shortcut.weight" in sd:  # LDM naming
+        out["conv_shortcut"] = _conv(sd, f"{key}.nin_shortcut")
+    return out
+
+
+def _vae_attn(sd: StateDict, key: str) -> dict:
+    if f"{key}.to_q.weight" in sd:  # modern diffusers naming
+        names = {"to_q": "to_q", "to_k": "to_k", "to_v": "to_v", "to_out": "to_out.0"}
+    else:  # diffusers<=0.14 AttentionBlock naming
+        names = {"to_q": "query", "to_k": "key", "to_v": "value", "to_out": "proj_attn"}
+    return {
+        "group_norm": _norm(sd, f"{key}.group_norm"),
+        **{ours: _dense_from_conv1x1(sd, f"{key}.{theirs}") for ours, theirs in names.items()},
+    }
+
+
+def port_sd_vae(sd: StateDict, num_blocks: int = 4, layers_per_block: int = 2) -> dict:
+    """diffusers ``AutoencoderKL`` state dict → ``StableDiffusionVAE``
+    params (the checkpoint the reference loads at
+    ``encoder/AutoencoderKL.py:16-19``)."""
+    enc: dict = {
+        "conv_in": _conv(sd, "encoder.conv_in"),
+        "mid_res_0": _vae_resnet(sd, "encoder.mid_block.resnets.0"),
+        "mid_attn": _vae_attn(sd, "encoder.mid_block.attentions.0"),
+        "mid_res_1": _vae_resnet(sd, "encoder.mid_block.resnets.1"),
+        "conv_norm_out": _norm(sd, "encoder.conv_norm_out"),
+        "conv_out": _conv(sd, "encoder.conv_out"),
+    }
+    for i in range(num_blocks):
+        for j in range(layers_per_block):
+            enc[f"down_{i}_res_{j}"] = _vae_resnet(
+                sd, f"encoder.down_blocks.{i}.resnets.{j}"
+            )
+        if i < num_blocks - 1:
+            enc[f"down_{i}_downsample"] = {
+                "conv": _conv(sd, f"encoder.down_blocks.{i}.downsamplers.0.conv")
+            }
+
+    dec: dict = {
+        "conv_in": _conv(sd, "decoder.conv_in"),
+        "mid_res_0": _vae_resnet(sd, "decoder.mid_block.resnets.0"),
+        "mid_attn": _vae_attn(sd, "decoder.mid_block.attentions.0"),
+        "mid_res_1": _vae_resnet(sd, "decoder.mid_block.resnets.1"),
+        "conv_norm_out": _norm(sd, "decoder.conv_norm_out"),
+        "conv_out": _conv(sd, "decoder.conv_out"),
+    }
+    for i in range(num_blocks):
+        for j in range(layers_per_block + 1):
+            dec[f"up_{i}_res_{j}"] = _vae_resnet(sd, f"decoder.up_blocks.{i}.resnets.{j}")
+        if i < num_blocks - 1:
+            dec[f"up_{i}_upsample"] = {
+                "conv": _conv(sd, f"decoder.up_blocks.{i}.upsamplers.0.conv")
+            }
+
+    return {
+        "encoder": enc,
+        "decoder": dec,
+        "quant_conv": _conv(sd, "quant_conv"),
+        "post_quant_conv": _conv(sd, "post_quant_conv"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# verification helper
+# ---------------------------------------------------------------------------
+
+
+def assert_tree_shapes_match(ported: dict, template: dict, path: str = "") -> None:
+    """Fail loudly (like weight.py's key accounting, but strict) when
+    the ported tree and a freshly-initialised params template disagree."""
+    t_keys = set(template)
+    p_keys = set(ported)
+    if t_keys != p_keys:
+        missing, extra = t_keys - p_keys, p_keys - t_keys
+        raise ValueError(f"at {path or '<root>'}: missing={sorted(missing)} extra={sorted(extra)}")
+    for k in t_keys:
+        t, p = template[k], ported[k]
+        if isinstance(t, dict):
+            assert_tree_shapes_match(p, t, f"{path}/{k}")
+        else:
+            if tuple(np.shape(p)) != tuple(np.shape(t)):
+                raise ValueError(
+                    f"at {path}/{k}: ported shape {np.shape(p)} != expected {np.shape(t)}"
+                )
+    logging.debug("port shape check ok at %s", path or "<root>")

@@ -1,0 +1,161 @@
+"""Task-model tests on a tiny U-Net + VAE: losses, symmetrized training
+step equivalence, template-bank engine (chunked == unchunked ==
+sequential), retrieval self-consistency, and the geodesic eval step."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from nope_tpu.models.unet import PoseUNet
+from nope_tpu.models.vae import StableDiffusionVAE
+from nope_tpu.tasks.pose_conditional import PoseConditionalTask, TaskConfig
+from nope_tpu.geometry import so3_grid, rotations, transforms
+
+IMG = 32  # -> 4x4 latents
+
+
+def _tiny_task(**cfg):
+    unet = PoseUNet(u_net_dim=8, channels=4, dim_mults=(1, 2), resnet_block_groups=4)
+    vae = StableDiffusionVAE(
+        block_out_channels=(8, 8, 8, 8), layers_per_block=1, latent_channels=4, groups=4
+    )
+    return PoseConditionalTask(unet, vae, TaskConfig(**cfg))
+
+
+@pytest.fixture(scope="module")
+def task_and_params():
+    task = _tiny_task()
+    params = task.init(jax.random.key(0), image_size=IMG)
+    return task, params
+
+
+def _batch(rng, b=2, pose_dim=6):
+    mats = rotations.random_rotations(jax.random.key(1), b)
+    mats_inv = jnp.swapaxes(mats, -1, -2)
+    return {
+        "query": jnp.asarray(rng.uniform(-1, 1, (b, IMG, IMG, 3)).astype(np.float32)),
+        "reference": jnp.asarray(rng.uniform(-1, 1, (b, IMG, IMG, 3)).astype(np.float32)),
+        "relativeR": rotations.matrix_to_rotation_6d(mats),
+        "relativeR_inv": rotations.matrix_to_rotation_6d(mats_inv),
+    }
+
+
+def test_forward_loss_finite_and_positive(task_and_params, rng):
+    task, params = task_and_params
+    batch = _batch(rng)
+    loss = task.forward_loss(params, batch["query"], batch["reference"], batch["relativeR"])
+    assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+def test_symmetrized_loss_matches_two_pass(task_and_params, rng):
+    """The stacked-batch symmetrized loss must equal the reference's
+    (loss_fwd + loss_inv) / 2 formulation."""
+    task, params = task_and_params
+    batch = _batch(rng)
+    stacked = float(task.train_loss(params, batch))
+    fwd = float(
+        task.forward_loss(params, batch["query"], batch["reference"], batch["relativeR"])
+    )
+    inv = float(
+        task.forward_loss(params, batch["reference"], batch["query"], batch["relativeR_inv"])
+    )
+    np.testing.assert_allclose(stacked, (fwd + inv) / 2, rtol=1e-5)
+
+
+def test_vae_gradient_is_zero(task_and_params, rng):
+    """Frozen encoder: no gradient may flow into the VAE subtree."""
+    task, params = task_and_params
+    batch = _batch(rng)
+    grads = jax.grad(task.train_loss)(params, batch)
+    vae_norm = sum(
+        float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads["vae"])
+    )
+    unet_norm = sum(
+        float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads["unet"])
+    )
+    assert vae_norm == 0.0
+    assert unet_norm > 0.0
+
+
+def test_template_bank_engine_consistency(task_and_params, rng):
+    """Chunked scan == single batched forward == per-template loop."""
+    task, params = task_and_params
+    b, n = 2, 8
+    reference = jnp.asarray(rng.uniform(-1, 1, (b, IMG, IMG, 3)).astype(np.float32))
+    bank_R = rotations.matrix_to_rotation_6d(
+        rotations.random_rotations(jax.random.key(3), b * n)
+    ).reshape(b, n, 6)
+
+    full = task.generate_template_bank(params, reference, bank_R)
+    chunked = task.generate_template_bank(params, reference, bank_R, chunk_size=4)
+    assert full.shape == (b, n, IMG // 8, IMG // 8, 4)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), atol=1e-5)
+
+    # sequential oracle (the reference's loop, minus the re-encode waste)
+    ref_latent = task.encode(params, reference, "mode")
+    seq = np.stack(
+        [
+            np.asarray(task.predict_latent(params, ref_latent, bank_R[:, i]))
+            for i in range(n)
+        ],
+        axis=1,
+    )
+    np.testing.assert_allclose(np.asarray(full), seq, atol=1e-5)
+
+
+def test_retrieval_self_consistency(task_and_params, rng):
+    """A bank that contains the query's own latent must retrieve it."""
+    task, params = task_and_params
+    b, n = 1, 6
+    query = jnp.asarray(rng.uniform(-1, 1, (b, IMG, IMG, 3)).astype(np.float32))
+    q_lat = task.encode(params, query, "mode")
+    bank = jnp.asarray(rng.normal(size=(b, n, IMG // 8, IMG // 8, 4)).astype(np.float32))
+    bank = bank.at[:, 3].set(q_lat)
+    sim, idx = task.retrieval(params, query, bank)
+    assert int(idx[0, 0]) == 3
+    np.testing.assert_allclose(float(sim[0, 3]), 0.0, atol=1e-5)
+
+
+def test_eval_geodesic_step(task_and_params, rng):
+    task, params = task_and_params
+    b, n = 2, 8
+    grid = so3_grid.load_obj_poses(0)[:n, :3, :3].astype(np.float32)
+    gt_idx = np.array([2, 5])
+    query_pose = jnp.asarray(grid[gt_idx])
+    template_poses = jnp.broadcast_to(jnp.asarray(grid), (b, n, 3, 3))
+
+    ref_pose = grid[0]
+    all_rel = transforms.relative_rotation_jax(
+        jnp.asarray(grid)[None].repeat(b, 0),
+        jnp.broadcast_to(jnp.asarray(ref_pose), (b, n, 3, 3)),
+    )
+    batch = {
+        "query": jnp.asarray(rng.uniform(-1, 1, (b, IMG, IMG, 3)).astype(np.float32)),
+        "reference": jnp.asarray(rng.uniform(-1, 1, (b, IMG, IMG, 3)).astype(np.float32)),
+        "gt_relativeR": rotations.matrix_to_rotation_6d(
+            transforms.relative_rotation_jax(query_pose, jnp.asarray([ref_pose] * b))
+        ),
+        "all_relativeR": rotations.matrix_to_rotation_6d(all_rel),
+        "query_pose": query_pose,
+        "template_poses": template_poses,
+        "symmetry": jnp.zeros(b),
+    }
+    out = task.eval_geodesic_step(params, batch, chunk_size=4)
+    assert out["similarity"].shape == (b, n)
+    assert out["nearest_idx"].shape == (b, 5)
+    assert out["error_deg"].shape == (b,)
+    assert "top1, accuracy_15" in out and "top5, median" in out
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_kl_loss_path(rng):
+    task = _tiny_task(loss_type="kl", using_KL=True, use_inv_deltaR=True)
+    # KL: U-Net must emit 2*latent channels
+    task.unet = PoseUNet(
+        u_net_dim=8, channels=4, dim_mults=(1, 2), resnet_block_groups=4, out_dim=8
+    )
+    params = task.init(jax.random.key(0), image_size=IMG)
+    batch = _batch(rng)
+    loss = task.train_loss(params, batch)
+    assert np.isfinite(float(loss))
