@@ -1,0 +1,247 @@
+"""Experiment configuration dataclasses + YAML/CLI loading."""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+
+# ---------------------------------------------------------------------------
+# leaves (mirroring configs/model/vae_base.yaml & friends)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class OptimConfig:
+    """configs/model/*.yaml optim_config + model.py:70-94."""
+
+    optim_name: str = "AdamW"
+    loss_type: str = "l1"
+    lr: float = 5e-5
+    weight_decay: float = 5e-4
+    warm_up_steps: int = 500
+    use_inv_deltaR: bool = True
+    milestones_epochs: Tuple[int, ...] = (10, 30, 50, 100)
+    gamma: float = 0.5
+
+
+@dataclass
+class TestingConfig:
+    similarity_metric: str = "l2"  # the reference quirk metric
+    retrieval_k: int = 5
+    fast_evaluation: bool = True
+
+
+@dataclass
+class UNetConfig:
+    """Network selection: variant in {vae_base, vae_cin_ldm,
+    vae_guidedDiffusion, template_base} (configs/model/)."""
+
+    variant: str = "vae_base"
+    u_net_dim: int = 192
+    dim_mults: Tuple[int, ...] = (1, 2, 4, 8)
+    rot_representation_dim: int = 6
+    pose_mlp_name: str = "single_layer"
+    resnet_block_groups: int = 8
+    double_bottleneck: bool = True  # reference quirk (u_net.py:177-183)
+    pretrained_path: Optional[str] = None
+    # LDM-variant knobs (configs/model/vae_cin_ldm.yaml)
+    model_channels: int = 256
+    attention_resolutions: Tuple[int, ...] = (4, 2, 1)
+    num_res_blocks: int = 2
+    channel_mult: Tuple[int, ...] = (1, 2, 4)
+    num_head_channels: int = 32
+    context_dim: int = 512
+    transformer_depth: int = 1
+    injecting_condition_twice: bool = False
+    # guided-diffusion knobs (configs/model/vae_guidedDiffusion.yaml)
+    gd_channel_mult: Tuple[int, ...] = (1, 1, 2, 2, 4, 4)
+    gd_attention_resolutions: Tuple[int, ...] = (32, 16, 8)
+    use_scale_shift_norm: bool = True
+    resblock_updown: bool = True
+    num_heads: int = 4
+
+
+@dataclass
+class EncoderConfig:
+    """Frozen feature encoder: SD-VAE (default) or the ResNet-50
+    template encoder (configs/model/template_base.yaml)."""
+
+    kind: str = "vae"  # vae | template
+    pretrained_path: Optional[str] = None
+    latent_dim: int = 4
+    using_KL: bool = False
+    # VAE architecture (SD v1-5 defaults; shrink for tests)
+    block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    norm_groups: int = 32
+    # template-encoder knobs
+    descriptor_size: int = 8
+    threshold: float = 0.2
+    normalize: bool = False
+
+
+@dataclass
+class ModelConfig:
+    u_net: UNetConfig = field(default_factory=UNetConfig)
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    optim_config: OptimConfig = field(default_factory=OptimConfig)
+    testing_config: TestingConfig = field(default_factory=TestingConfig)
+    checkpoint_path: Optional[str] = None
+    img_size: int = 256
+
+
+@dataclass
+class TrainerConfig:
+    """configs/machine/trainer/*.yaml equivalents."""
+
+    max_epochs: int = 1000
+    max_steps: Optional[int] = None
+    val_check_interval: int = 2000
+    checkpoint_every_n_steps: int = 100
+    keep_checkpoints: Optional[int] = None  # None == keep all (save_top_k=-1)
+    log_every_n_steps: int = 1
+    num_sanity_val_steps: int = 2
+    seed: int = 2022
+
+
+@dataclass
+class MachineConfig:
+    name: str = "local"
+    batch_size: int = 16
+    num_workers: int = 10
+    root_dir: str = "."
+    dryrun: bool = True
+    # mesh axes; data=None -> all devices
+    mesh_data: Optional[int] = None
+    mesh_template: int = 1
+
+
+@dataclass
+class DatasetConfig:
+    name: str = "shapeNet"
+    root_dir: str = ""
+    split: Optional[str] = None
+    img_size: int = 256
+    rot_representation: str = "rotation6d"
+    pose_distribution: str = "upper"
+    fast_evaluation: bool = True
+    # BOP extras
+    template_dir: Optional[str] = None
+    obj_ids: Optional[str] = None
+    reset_metaData: bool = False
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class DataConfig:
+    datasets: Dict[str, DatasetConfig] = field(default_factory=dict)
+
+
+@dataclass
+class ExperimentConfig:
+    name_exp: str = "train"
+    save_dir: str = "./results"
+    train_data_name: List[str] = field(default_factory=lambda: ["shapeNet"])
+    test_data_name: List[str] = field(default_factory=lambda: ["shapeNet"])
+    use_pretrained: bool = True
+    machine: MachineConfig = field(default_factory=MachineConfig)
+    trainer: TrainerConfig = field(default_factory=TrainerConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+
+
+# ---------------------------------------------------------------------------
+# loading / overrides
+# ---------------------------------------------------------------------------
+
+
+def _coerce(value: str, target_type: Any):
+    if target_type is bool or isinstance(target_type, bool):
+        return str(value).lower() in ("1", "true", "yes")
+    for cast in (int, float):
+        try:
+            return cast(value)
+        except (TypeError, ValueError):
+            pass
+    if isinstance(value, str) and "," in value:
+        return tuple(_coerce(v, None) for v in value.split(","))
+    if value in ("null", "None", ""):
+        return None
+    return value
+
+
+def _from_dict(cls, data: Dict[str, Any]):
+    if not dataclasses.is_dataclass(cls):
+        return data
+    defaults = cls()
+    kwargs: Dict[str, Any] = {}
+    field_names = {f.name for f in dataclasses.fields(cls)}
+    for key, value in data.items():
+        if key not in field_names:
+            raise KeyError(f"unknown config key {key!r} for {cls.__name__}")
+        current = getattr(defaults, key)
+        if key == "datasets" and isinstance(value, dict):
+            kwargs[key] = {
+                name: _from_dict(DatasetConfig, v) for name, v in value.items()
+            }
+        elif dataclasses.is_dataclass(current) and isinstance(value, dict):
+            kwargs[key] = _from_dict(type(current), value)
+        elif isinstance(current, tuple) and isinstance(value, list):
+            kwargs[key] = tuple(value)
+        else:
+            kwargs[key] = value
+    return cls(**kwargs)
+
+
+def apply_overrides(cfg: ExperimentConfig, overrides: List[str]) -> ExperimentConfig:
+    """``a.b.c=value`` dotted overrides (the Hydra CLI idiom)."""
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"override {ov!r} is not key=value")
+        key, value = ov.split("=", 1)
+        parts = key.split(".")
+        obj = cfg
+        for p in parts[:-1]:
+            if isinstance(obj, dict):
+                obj = obj[p]
+            else:
+                obj = getattr(obj, p)
+        last = parts[-1]
+        if isinstance(obj, dict):
+            obj[last] = _coerce(value, None)
+            continue
+        current = getattr(obj, last, None)
+        if isinstance(current, bool):
+            setattr(obj, last, str(value).lower() in ("1", "true", "yes"))
+        elif isinstance(current, int) and not isinstance(current, bool):
+            setattr(obj, last, int(value))
+        elif isinstance(current, float):
+            setattr(obj, last, float(value))
+        elif isinstance(current, tuple):
+            setattr(obj, last, tuple(_coerce(v, None) for v in value.split(",")))
+        elif isinstance(current, list):
+            setattr(obj, last, [v.strip() for v in value.split(",")])
+        else:
+            # untyped (None-default) fields: best-effort coercion
+            setattr(obj, last, _coerce(value, None))
+    return cfg
+
+
+def load_config(
+    yaml_path: Optional[str] = None, overrides: Optional[List[str]] = None
+) -> ExperimentConfig:
+    if yaml_path is not None:
+        import yaml
+
+        with open(yaml_path) as f:
+            data = yaml.safe_load(f) or {}
+        cfg = _from_dict(ExperimentConfig, data)
+    else:
+        cfg = ExperimentConfig()
+    if overrides:
+        cfg = apply_overrides(cfg, list(overrides))
+    cfg.save_dir = os.path.join(cfg.save_dir, cfg.name_exp)
+    return cfg

@@ -1,0 +1,83 @@
+"""DatasetConfig → dataset/loader construction (the instantiate() layer
+of the reference's train.py:64-140, minus Hydra)."""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Optional
+
+from nope_tpu.configs.config import DatasetConfig, ExperimentConfig
+from nope_tpu.data.pipeline import CombinedLoader, ConcatDataset, DataLoader
+
+
+def build_dataset(cfg: DatasetConfig):
+    if cfg.name == "shapeNet":
+        from nope_tpu.data.shapenet import ShapeNetDataset
+
+        return ShapeNetDataset(
+            root_dir=cfg.root_dir,
+            split=cfg.split or "training",
+            pose_distribution=cfg.pose_distribution,
+            rot_representation=cfg.rot_representation,
+            fast_evaluation=cfg.fast_evaluation,
+            img_size=cfg.img_size,
+        )
+    if cfg.name == "objaverse":
+        from nope_tpu.data.objaverse import ObjaverseDataset
+
+        return ObjaverseDataset(
+            root_dir=cfg.root_dir,
+            img_size=cfg.img_size,
+            rot_representation=cfg.rot_representation,
+        )
+    if cfg.name in ("tless", "bop"):
+        from nope_tpu.data.bop import BOPDataset
+
+        return BOPDataset(
+            root_dir=cfg.root_dir,
+            template_dir=cfg.template_dir,
+            split=cfg.split or "test",
+            obj_ids=cfg.obj_ids,
+            img_size=cfg.img_size,
+            reset_metaData=cfg.reset_metaData,
+            pose_distribution=cfg.pose_distribution,
+            rot_representation=cfg.rot_representation,
+            **cfg.extra,
+        )
+    raise ValueError(f"unknown dataset {cfg.name!r}")
+
+
+def build_train_loaders(cfg: ExperimentConfig) -> Dict[str, DataLoader]:
+    """Training loaders for each name in cfg.train_data_name, with the
+    reference's split fixups (train.py:64-121)."""
+    loaders: Dict[str, DataLoader] = {}
+    for name in cfg.train_data_name:
+        ds_cfg = cfg.data.datasets[name]
+        if name == "shapeNet":
+            ds_cfg.split = "training"
+        dataset = build_dataset(ds_cfg)
+        loaders[name] = DataLoader(
+            dataset,
+            batch_size=cfg.machine.batch_size,
+            shuffle=True,
+            num_workers=cfg.machine.num_workers,
+        )
+        logging.info("train loader %s: %d batches", name, len(loaders[name]))
+    return loaders
+
+
+def build_val_loaders(cfg: ExperimentConfig) -> Dict[str, DataLoader]:
+    loaders: Dict[str, DataLoader] = {}
+    for name in cfg.test_data_name:
+        ds_cfg = cfg.data.datasets[name]
+        if name == "shapeNet":
+            ds_cfg.split = "unseen_training"
+        dataset = build_dataset(ds_cfg)
+        loaders[name] = DataLoader(
+            dataset,
+            batch_size=cfg.machine.batch_size,
+            shuffle=False,
+            num_workers=cfg.machine.num_workers,
+        )
+        logging.info("val loader %s: %d batches", name, len(loaders[name]))
+    return loaders

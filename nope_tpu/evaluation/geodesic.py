@@ -1,0 +1,107 @@
+"""Geodesic evaluation harness (the ShapeNet unseen-category protocol).
+
+Host-side orchestration around the jitted
+``PoseConditionalTask.eval_geodesic_step`` device program: iterate a
+test loader, aggregate symmetry-aware accuracy@threshold / medians, and
+optionally dump per-batch predictions (similarity heatmaps + poses) as
+``.npz`` like the reference (``model.py:361-376``).
+
+This is the evaluation the reference promises in ``test_shapeNet.py``
+but never ships (SURVEY appendix item 1).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Any, Dict, Iterable, Optional
+
+import numpy as np
+import jax
+
+
+def evaluate_geodesic(
+    task,
+    params,
+    loader: Iterable[Dict[str, np.ndarray]],
+    chunk_size: Optional[int] = None,
+    save_dir: Optional[str] = None,
+    tag: str = "eval",
+    max_batches: Optional[int] = None,
+) -> Dict[str, float]:
+    """Run the geodesic eval over a loader; returns aggregated scores
+    (mean over batches of accuracy, median over all errors, mean loss)."""
+    step_fn = jax.jit(task.eval_geodesic_step, static_argnames=("chunk_size",))
+
+    all_errors = []
+    losses = []
+    n_items = 0
+    t0 = time.perf_counter()
+    for i, batch in enumerate(loader):
+        if max_batches is not None and i >= max_batches:
+            break
+        device_batch = {
+            k: v
+            for k, v in batch.items()
+            if isinstance(v, np.ndarray) and v.dtype.kind in "fiub"
+        }
+        out = step_fn(params, device_batch, chunk_size=chunk_size)
+        all_errors.append(np.asarray(out["errors_topk"]))
+        losses.append(float(out["loss"]))
+        n_items += len(out["error_deg"])
+        if save_dir is not None:
+            os.makedirs(save_dir, exist_ok=True)
+            np.savez(
+                os.path.join(save_dir, f"pred_{tag}_batch{i}.npz"),
+                similarity=np.asarray(out["similarity"]),
+                nearest_idx=np.asarray(out["nearest_idx"]),
+                error_deg=np.asarray(out["error_deg"]),
+                query_pose=np.asarray(batch["query_pose"]),
+            )
+        # symmetry-aware top-k accuracies are recomputed globally below;
+        # keep per-batch logging light
+        if i % 10 == 0:
+            logging.info("eval %s batch %d: loss=%.4f", tag, i, losses[-1])
+
+    errors = (
+        np.concatenate(all_errors, axis=0) if all_errors else np.zeros((0, 5))
+    )  # (num_images, k)
+    elapsed = time.perf_counter() - t0
+    scores: Dict[str, float] = {
+        "loss": float(np.mean(losses)) if losses else float("nan"),
+        "images_per_sec": n_items / elapsed if elapsed > 0 else 0.0,
+        "num_images": float(n_items),
+    }
+    if len(errors):
+        for k in (1, 3, 5):
+            if k > errors.shape[1]:
+                continue
+            best = np.min(errors[:, :k], axis=1)
+            for threshold in (15.0, 30.0):
+                scores[f"top{k}, accuracy_{int(threshold)}"] = float(
+                    np.mean(best <= threshold) * 100
+                )
+            scores[f"top{k}, median"] = float(np.sort(best)[(len(best) - 1) // 2])
+    return scores
+
+
+def evaluate_geodesic_full(
+    task,
+    params,
+    loader_factory,
+    categories,
+    **kwargs,
+) -> Dict[str, Dict[str, float]]:
+    """Multi-category sweep (BASELINE config #4): one loader per unseen
+    category, per-category + mean scores."""
+    results: Dict[str, Any] = {}
+    for cat in categories:
+        loader = loader_factory(cat)
+        results[cat] = evaluate_geodesic(task, params, loader, tag=cat, **kwargs)
+        logging.info("category %s: %s", cat, results[cat])
+    keys = [k for k in next(iter(results.values())) if k.startswith("top")]
+    results["mean"] = {
+        k: float(np.mean([results[c][k] for c in categories])) for k in keys
+    }
+    return results

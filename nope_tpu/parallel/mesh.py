@@ -56,11 +56,9 @@ def create_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if data is None:
         data = len(devices) // template
-    if data * template != len(devices):
-        raise ValueError(
-            f"mesh {data}x{template} != {len(devices)} devices"
-        )
-    dev_array = np.asarray(devices).reshape(data, template)
+    if data * template > len(devices):
+        raise ValueError(f"mesh {data}x{template} > {len(devices)} devices")
+    dev_array = np.asarray(devices[: data * template]).reshape(data, template)
     return Mesh(dev_array, (DATA_AXIS, TEMPLATE_AXIS))
 
 

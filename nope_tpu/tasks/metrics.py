@@ -84,6 +84,20 @@ class GeodesicError:
     def __init__(self, thresholds=(15,)):
         self.thresholds = tuple(thresholds)
 
+    def topk_errors(
+        self, predR: jax.Array, gtR: jax.Array, symmetry: jax.Array
+    ) -> jax.Array:
+        """(B, k) per-candidate errors in degrees (for global
+        aggregation across eval batches)."""
+        symmetry = jnp.reshape(symmetry, (-1,))
+        b, k = predR.shape[0], predR.shape[1]
+        flat = predR.reshape(b * k, 3, 3)
+        gt_rep = jnp.repeat(gtR[:, None], k, axis=1).reshape(b * k, 3, 3)
+        sym_rep = jnp.repeat(symmetry[:, None], k, axis=1).reshape(-1)
+        return jnp.degrees(
+            so3_relative_angle_with_symmetry(flat, gt_rep, sym_rep)
+        ).reshape(b, k)
+
     def __call__(self, predR: jax.Array, gtR: jax.Array, symmetry: jax.Array):
         symmetry = jnp.reshape(symmetry, (-1,))
         if predR.ndim == 3:
@@ -95,13 +109,8 @@ class GeodesicError:
             results["top1, median"] = _median_lower(error)
             return error, results
 
-        b, k = predR.shape[0], predR.shape[1]
-        flat = predR.reshape(b * k, 3, 3)
-        gt_rep = jnp.repeat(gtR[:, None], k, axis=1).reshape(b * k, 3, 3)
-        sym_rep = jnp.repeat(symmetry[:, None], k, axis=1).reshape(-1)
-        errors = jnp.degrees(
-            so3_relative_angle_with_symmetry(flat, gt_rep, sym_rep)
-        ).reshape(b, k)
+        errors = self.topk_errors(predR, gtR, symmetry)
+        k = errors.shape[1]
 
         results = {}
         for idx_k in (0, 2, 4):

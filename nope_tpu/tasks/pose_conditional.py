@@ -246,13 +246,14 @@ class PoseConditionalTask:
 
         template_poses = batch["template_poses"][0]  # grid shared across batch
         pred_R = template_poses[nearest]  # (B, k, 3, 3)
-        error, acc = self.metric(
-            pred_R, batch["query_pose"], jnp.reshape(batch["symmetry"], (-1,))
-        )
+        symmetry = jnp.reshape(batch["symmetry"], (-1,))
+        error, acc = self.metric(pred_R, batch["query_pose"], symmetry)
+        errors_topk = self.metric.topk_errors(pred_R, batch["query_pose"], symmetry)
         return {
             "loss": loss,
             "similarity": similarity,
             "nearest_idx": nearest,
             "error_deg": error,
+            "errors_topk": errors_topk,
             **acc,
         }

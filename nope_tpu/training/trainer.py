@@ -1,0 +1,158 @@
+"""Training loop: the Lightning Trainer replacement.
+
+One process drives: combined multi-dataset loading → device-sharded
+jitted train step → metric logging (JSONL + optional TensorBoard) →
+orbax checkpointing/resume → periodic geodesic validation.  DDP, NCCL,
+``sync_dist`` and callbacks (SURVEY §2.8) all collapse into the mesh-
+aware jitted step; the trainer is plain Python.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import numpy as np
+import jax
+
+from nope_tpu.configs.config import ExperimentConfig
+from nope_tpu.data.pipeline import CombinedLoader, device_prefetch
+from nope_tpu.parallel.mesh import create_mesh, data_sharding, replicate
+from nope_tpu.tasks.pose_conditional import PoseConditionalTask
+from nope_tpu.training.checkpoint import CheckpointManager
+from nope_tpu.training.optim import make_optimizer
+from nope_tpu.training.train_state import TrainState, create_train_state, make_train_step
+
+
+class MetricLogger:
+    """JSONL metric stream + optional tensorboardX (wandb is not part of
+    this image; the reference's W&B logging maps onto this)."""
+
+    def __init__(self, save_dir: str):
+        os.makedirs(save_dir, exist_ok=True)
+        self._jsonl = open(os.path.join(save_dir, "metrics.jsonl"), "a")
+        try:
+            from tensorboardX import SummaryWriter
+
+            self._tb = SummaryWriter(os.path.join(save_dir, "tb"))
+        except Exception:
+            self._tb = None
+
+    def log(self, step: int, metrics: Dict[str, float]) -> None:
+        record = {"step": int(step)}
+        record.update({k: float(v) for k, v in metrics.items()})
+        self._jsonl.write(json.dumps(record) + "\n")
+        self._jsonl.flush()
+        if self._tb is not None:
+            for k, v in record.items():
+                if k != "step":
+                    self._tb.add_scalar(k, v, step)
+
+    def close(self) -> None:
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        task: PoseConditionalTask,
+        train_loaders: Dict[str, Iterable],
+        val_fn: Optional[Callable[[TrainState], Dict[str, float]]] = None,
+    ):
+        self.cfg = cfg
+        self.task = task
+        self.combined = CombinedLoader(train_loaders)
+        self.val_fn = val_fn
+
+        steps_per_epoch = len(self.combined)
+        self.tx = make_optimizer(
+            optim_name=cfg.model.optim_config.optim_name,
+            base_lr=cfg.model.optim_config.lr,
+            weight_decay=cfg.model.optim_config.weight_decay,
+            warm_up_steps=cfg.model.optim_config.warm_up_steps,
+            milestones_epochs=cfg.model.optim_config.milestones_epochs,
+            gamma=cfg.model.optim_config.gamma,
+            steps_per_epoch=steps_per_epoch,
+        )
+        self.train_step = make_train_step(task, self.tx)
+        self.mesh = create_mesh(
+            data=cfg.machine.mesh_data, template=cfg.machine.mesh_template
+        )
+        self.logger = MetricLogger(cfg.save_dir)
+        self.ckpt = CheckpointManager(
+            os.path.join(cfg.save_dir, "checkpoints"),
+            save_interval_steps=cfg.trainer.checkpoint_every_n_steps,
+            max_to_keep=cfg.trainer.keep_checkpoints,
+        )
+
+    # -- state ------------------------------------------------------------
+
+    def init_state(self, resume: bool = True) -> TrainState:
+        state = create_train_state(
+            self.task, self.tx, jax.random.key(self.cfg.trainer.seed),
+            image_size=self.cfg.model.img_size,
+        )
+        if resume and self.ckpt.latest_step() is not None:
+            logging.info("resuming from step %s", self.ckpt.latest_step())
+            state = self.ckpt.restore(state)
+        return jax.device_put(state, replicate(self.mesh))
+
+    # -- loop ------------------------------------------------------------
+
+    def fit(self, state: Optional[TrainState] = None, max_steps: Optional[int] = None):
+        cfg = self.cfg
+        state = self.init_state() if state is None else state
+        max_steps = max_steps or cfg.trainer.max_steps or (
+            cfg.trainer.max_epochs * len(self.combined)
+        )
+
+        # sanity validation (the reference's num_sanity_val_steps)
+        if self.val_fn is not None and cfg.trainer.num_sanity_val_steps > 0:
+            logging.info("sanity validation...")
+            self.val_fn(state)
+
+        step = int(state.step)
+        t_last = time.perf_counter()
+        def shard(batches):
+            return {
+                name: {
+                    k: jax.device_put(v, data_sharding(self.mesh, np.ndim(v)))
+                    for k, v in b.items()
+                }
+                for name, b in batches.items()
+            }
+
+        while step < max_steps:
+            # async host->device: keep 2 sharded batches in flight
+            for batches in device_prefetch(
+                map(shard, iter(self.combined)), sharding=None, depth=2
+            ):
+                state, metrics = self.train_step(state, batches)
+                step = int(state.step)
+
+                if step % cfg.trainer.log_every_n_steps == 0:
+                    now = time.perf_counter()
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    metrics["steps_per_sec"] = cfg.trainer.log_every_n_steps / (
+                        now - t_last
+                    )
+                    t_last = now
+                    self.logger.log(step, metrics)
+
+                if step % cfg.trainer.checkpoint_every_n_steps == 0:
+                    self.ckpt.save(step, jax.device_get(state))
+
+                if self.val_fn is not None and step % cfg.trainer.val_check_interval == 0:
+                    scores = self.val_fn(state)
+                    self.logger.log(step, {f"val/{k}": v for k, v in scores.items()})
+
+                if step >= max_steps:
+                    break
+        self.ckpt.wait()
+        return state

@@ -1,0 +1,123 @@
+"""BOP reader tests on a synthetic BOP-format mini-dataset."""
+
+import json
+import os
+import os.path as osp
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from nope_tpu.data.bop import BOPDataset
+from nope_tpu.geometry import so3_grid
+
+IMG = 64
+N_FRAMES = 6
+
+
+@pytest.fixture(scope="module")
+def mini_bop(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("bop"))
+    rng = np.random.default_rng(0)
+    scene_dir = osp.join(root, "test", "000001")
+    for sub in ("rgb", "mask", "mask_visib", "depth"):
+        os.makedirs(osp.join(scene_dir, sub))
+
+    # upper-hemisphere grid poses in mm at ~500mm distance
+    grid = so3_grid.get_obj_poses_from_template_level(2, "upper")
+    K = [500.0, 0.0, 64.0, 0.0, 500.0, 64.0, 0.0, 0.0, 1.0]
+
+    scene_gt, scene_gt_info, scene_camera = {}, {}, {}
+    for f in range(N_FRAMES):
+        pose = grid[rng.integers(0, len(grid))].copy()
+        pose[:3, 3] = [0.0, 0.0, 500.0]
+        scene_gt[str(f)] = [
+            {
+                "obj_id": 1,
+                "cam_R_m2c": pose[:3, :3].reshape(-1).tolist(),
+                "cam_t_m2c": pose[:3, 3].tolist(),
+            }
+        ]
+        scene_gt_info[str(f)] = [
+            {"visib_fract": 1.0 if f < N_FRAMES - 1 else 0.5,
+             "bbox_obj": [0, 0, 10, 10], "bbox_visib": [0, 0, 10, 10]}
+        ]
+        scene_camera[str(f)] = {"cam_K": K, "depth_scale": 0.1}
+
+        img = rng.integers(0, 255, (128, 128, 3), dtype=np.uint8)
+        Image.fromarray(img).save(osp.join(scene_dir, "rgb", f"{f:06d}.png"))
+        mask = np.full((128, 128), 255, np.uint8)
+        Image.fromarray(mask).save(osp.join(scene_dir, "mask", f"{f:06d}_000000.png"))
+        Image.fromarray(mask).save(
+            osp.join(scene_dir, "mask_visib", f"{f:06d}_000000.png")
+        )
+        depth = rng.integers(4000, 6000, (128, 128), dtype=np.uint16)
+        Image.fromarray(depth).save(osp.join(scene_dir, "depth", f"{f:06d}.png"))
+
+    for name, obj in (
+        ("scene_gt", scene_gt),
+        ("scene_gt_info", scene_gt_info),
+        ("scene_camera", scene_camera),
+    ):
+        with open(osp.join(scene_dir, name + ".json"), "w") as fp:
+            json.dump(obj, fp)
+
+    cad_dir = osp.join(root, "models", "models")
+    os.makedirs(cad_dir)
+    with open(osp.join(cad_dir, "obj_000001.ply"), "w") as fp:
+        fp.write("ply\n")  # placeholder; meshes gated behind trimesh
+    with open(osp.join(cad_dir, "models_info.json"), "w") as fp:
+        json.dump({"1": {"diameter": 100.0}}, fp)
+    return root
+
+
+def test_bop_training_items(mini_bop):
+    # expose the same scenes as a train split
+    train_dir = osp.join(mini_bop, "train")
+    if not osp.exists(train_dir):
+        os.symlink(osp.join(mini_bop, "test"), train_dir)
+    ds = BOPDataset(
+        root_dir=mini_bop, template_dir=None, split="train", obj_ids=[1],
+        img_size=IMG, reset_metaData=True,
+    )
+    # training: visib>=0.95 filter drops the occluded frame, then 90% keep
+    assert len(ds) == int(0.9 * (N_FRAMES - 1))
+    item = ds[0]
+    assert set(item) == {"query", "reference", "relativeR", "relativeR_inv"}
+    assert item["query"].shape == (IMG, IMG, 3)
+    assert item["relativeR"].shape == (6,)
+
+
+def test_bop_metadata_filters(mini_bop, tmp_path):
+    ds = BOPDataset(
+        root_dir=mini_bop, template_dir=None, split="test", obj_ids=[1],
+        img_size=IMG, reset_metaData=True,
+    )
+    # test split: keeps occluded frames too (visib 0.5 one included)
+    assert len(ds) == N_FRAMES
+    item = ds[0]
+    assert item["query"].shape == (IMG, IMG, 3)
+    assert item["all_relativeR"].shape == (341, 6)
+    assert item["template_poses"].shape == (341, 3, 3)
+    assert item["query_translation"].shape == (3,)
+    assert item["intrinsic"].shape == (3, 3)
+    assert int(item["obj_id"]) == 1
+    assert item["depth_path"].endswith(".png")
+
+    # metaData cache file was written and reloads
+    assert osp.exists(osp.join(mini_bop, "test_metaData.json"))
+    ds2 = BOPDataset(
+        root_dir=mini_bop, template_dir=None, split="test", obj_ids=[1],
+        img_size=IMG, reset_metaData=False,
+    )
+    assert len(ds2) == len(ds)
+
+
+def test_bop19_list_filter(mini_bop, tmp_path):
+    lst = tmp_path / "bop19.json"
+    lst.write_text(json.dumps([[1, 0], [1, 2]]))
+    ds = BOPDataset(
+        root_dir=mini_bop, template_dir=None, split="test", obj_ids=[1],
+        img_size=IMG, reset_metaData=False, bop19_test_list=str(lst),
+    )
+    assert len(ds) == 2

@@ -1,0 +1,162 @@
+"""ShapeNet reader tests on a synthetic mini-dataset."""
+
+import os
+import os.path as osp
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from nope_tpu.data.shapenet import ShapeNetDataset
+from nope_tpu.data.categories import SHAPENET_CAT2ID
+from nope_tpu.geometry import so3_grid
+
+IMG = 64
+N_QUERY, N_REF = 3, 2
+
+
+def _make_object(root, obj_id, rng, template_indexes):
+    obj_dir = osp.join(root, "images", f"obj_{obj_id:06d}")
+    os.makedirs(obj_dir, exist_ok=True)
+    grid = so3_grid.load_obj_poses(2)
+
+    def save_img(path):
+        arr = rng.integers(0, 255, (128, 128, 4), dtype=np.uint8)
+        arr[..., 3] = (arr[..., 0] > 64) * 255
+        Image.fromarray(arr, "RGBA").save(path)
+
+    def poses(n, scale=2.0):
+        sel = grid[rng.integers(0, len(grid), n)].copy()
+        sel[:, :3, 3] *= scale
+        return sel
+
+    for kind, n in (("query", N_QUERY), ("reference", N_REF)):
+        for i in range(n):
+            save_img(osp.join(obj_dir, f"{kind}_{i:06d}.png"))
+        os.makedirs(osp.join(root, f"object_{kind}_poses"), exist_ok=True)
+        np.save(osp.join(root, f"object_{kind}_poses", f"obj_{obj_id:06d}.npy"), poses(n))
+
+    # template images only at the fast-eval indexes (saves fixture time)
+    for idx in template_indexes:
+        save_img(osp.join(obj_dir, f"templates_{idx:06d}.png"))
+    os.makedirs(osp.join(root, "object_template_poses"), exist_ok=True)
+    template_poses = grid.copy()
+    template_poses[:, :3, 3] *= 2.0
+    np.save(
+        osp.join(root, "object_template_poses", f"obj_{obj_id:06d}.npy"), template_poses
+    )
+
+
+@pytest.fixture(scope="module")
+def mini_shapenet(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("shapenet"))
+    rng = np.random.default_rng(0)
+    tidx = so3_grid.load_index_level0_in_level2("upper")
+    # 2 bottles (test category, circular symmetry) + 2 airplanes
+    cad_names = [
+        f"{SHAPENET_CAT2ID['bottle']}_cad{j}" for j in range(2)
+    ] + [f"{SHAPENET_CAT2ID['airplane']}_cad{j}" for j in range(2)]
+    with open(osp.join(root, "cad_names.txt"), "w") as f:
+        f.write("\n".join(cad_names) + "\n")
+    for obj_id in range(len(cad_names)):
+        _make_object(root, obj_id, rng, tidx)
+    return root
+
+
+def test_test_split_item_schema(mini_shapenet):
+    ds = ShapeNetDataset(
+        mini_shapenet, split="bottle", img_size=IMG, fast_evaluation=True
+    )
+    assert len(ds) == 2 * N_QUERY  # queries of the 2 bottle objects
+    item = ds[0]
+    n = 26  # fast-eval template count
+    assert item["query"].shape == (IMG, IMG, 3)
+    assert item["reference"].shape == (IMG, IMG, 3)
+    assert item["gt_relativeR"].shape == (6,)
+    assert item["all_relativeR"].shape == (n, 6)
+    assert item["gt_templates"].shape == (n, IMG, IMG, 3)
+    assert item["query_pose"].shape == (3, 3)
+    assert item["template_poses"].shape == (n, 3, 3)
+    assert float(item["symmetry"]) == 2.0  # bottles are circular-symmetric
+    assert item["query"].min() >= -1.0 and item["query"].max() <= 1.0
+
+
+def test_unseen_training_split(mini_shapenet):
+    ds = ShapeNetDataset(
+        mini_shapenet, split="unseen_training", img_size=IMG, fast_evaluation=True
+    )
+    # only the 2 airplane objects belong to train categories
+    assert len(ds) == 2 * N_QUERY
+    item = ds[0]
+    assert set(item) > {"query", "reference", "gt_relativeR"}  # testing schema
+
+
+def test_relative_rotation_consistency(mini_shapenet):
+    """gt_relativeR must equal R_q @ R_rᵀ of the stored poses."""
+    ds = ShapeNetDataset(mini_shapenet, split="bottle", img_size=IMG)
+    q_path = ds.query_paths[0]
+    item0 = None
+    # reconstruct with the same reference sampling by re-seeding
+    ds._item_rng.seed(123)
+    item0 = ds[0]
+    q_pose = ds.get_pose(q_path)
+    rel6d = item0["gt_relativeR"]
+    # first two rows of a valid rotation
+    m = rel6d.reshape(2, 3)
+    np.testing.assert_allclose(np.linalg.norm(m, axis=1), 1.0, atol=1e-4)
+    assert abs(float(m[0] @ m[1])) < 1e-4
+
+
+def test_split_slicing_semantics(tmp_path):
+    """training = cads[50:], unseen_training = cads[:50], test cat = [:100]."""
+    root = tmp_path / "splits"
+    os.makedirs(root)
+    cad_names = [f"{SHAPENET_CAT2ID['car']}_c{j}" for j in range(60)]
+    (root / "cad_names.txt").write_text("\n".join(cad_names) + "\n")
+
+    class Probe(ShapeNetDataset):
+        def _load_metadata(self):  # skip file IO, capture ids
+            self.selected = self._selected_object_ids()
+            self.query_paths = []
+
+    train = Probe(str(root), split="training")
+    val = Probe(str(root), split="unseen_training")
+    assert len(train.selected) == 10  # 60 car cads - 50 held out
+    assert len(val.selected) == 50
+    assert not set(train.selected) & set(val.selected)
+
+
+def test_training_anchor_items_are_queries_only(tmp_path):
+    """Training split anchors on query_*.png; the reference pool also
+    contains references+templates (shapeNet.py:142-154)."""
+    root = tmp_path / "train_root"
+    os.makedirs(root)
+    rng = np.random.default_rng(1)
+    cad_names = [f"{SHAPENET_CAT2ID['airplane']}_c{j}" for j in range(52)]
+    (root / "cad_names.txt").write_text("\n".join(cad_names) + "\n")
+
+    # learn which 2 cads land in the training slice (seeded shuffle),
+    # then materialise exactly those — with the full level-2 upper
+    # template set so the training reference pool is valid
+    class Probe(ShapeNetDataset):
+        def _load_metadata(self):
+            self.selected = self._selected_object_ids()
+            self.query_paths = []
+
+    selected = Probe(str(root), split="training").selected
+    assert len(selected) == 2
+    train_idx, _ = so3_grid.get_obj_poses_from_template_level(
+        2, "upper", return_index=True
+    )
+    for obj_id in selected:
+        _make_object(str(root), obj_id, rng, train_idx)
+
+    ds = ShapeNetDataset(str(root), split="training", img_size=IMG, level=2)
+    assert len(ds) == 2 * N_QUERY
+    assert all("query_" in osp.basename(p) for p in ds.query_paths)
+    # reference pool includes templates
+    pool = ds.query_to_references[f"obj_{selected[0]:06d}"]
+    assert any("templates_" in osp.basename(p) for p in pool)
+    item = ds[0]
+    assert set(item) == {"query", "reference", "relativeR", "relativeR_inv"}
+    assert item["relativeR"].shape == (6,)

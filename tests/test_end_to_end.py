@@ -1,0 +1,146 @@
+"""End-to-end integration: config → task → trainer (few steps, 8-device
+mesh) → checkpoint resume → test_shapenet CLI on synthetic data.
+
+This is the framework analogue of BASELINE configs #3-#5 on a tiny
+model: the full training step runs sharded, checkpoints round-trip, and
+the inference CLI produces the score schema.
+"""
+
+import json
+import os
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from tests.fixtures import make_mini_shapenet, N_QUERY
+
+TINY_OVERRIDES = [
+    "model.img_size=32",
+    "model.u_net.u_net_dim=8",
+    "model.u_net.dim_mults=1,2",
+    "model.u_net.resnet_block_groups=4",
+    "model.encoder.block_out_channels=8,8,8,8",
+    "model.encoder.layers_per_block=1",
+    "model.encoder.norm_groups=4",
+    "model.optim_config.warm_up_steps=2",
+    "machine.batch_size=2",
+    "machine.mesh_data=2",
+    "machine.mesh_template=1",
+    "machine.num_workers=2",
+    "trainer.checkpoint_every_n_steps=2",
+    "trainer.num_sanity_val_steps=0",
+    "trainer.val_check_interval=1000",
+]
+
+
+@pytest.fixture(scope="module")
+def mini_root(tmp_path_factory):
+    return make_mini_shapenet(
+        str(tmp_path_factory.mktemp("e2e_shapenet")), objects_per_cat=2
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg(mini_root, tmp_path_factory):
+    from nope_tpu.configs import load_config
+    from nope_tpu.configs.config import DatasetConfig
+
+    save_dir = str(tmp_path_factory.mktemp("e2e_save"))
+    cfg = load_config(
+        None,
+        TINY_OVERRIDES + [f"save_dir={save_dir}", "name_exp=e2e"],
+    )
+    cfg.data.datasets["shapeNet"] = DatasetConfig(
+        name="shapeNet", root_dir=mini_root, img_size=32
+    )
+    return cfg
+
+
+def test_train_steps_and_resume(tiny_cfg):
+    import dataclasses
+
+    from nope_tpu.configs.config import DatasetConfig
+    from nope_tpu.data.builder import build_dataset
+    from nope_tpu.data.pipeline import DataLoader
+    from nope_tpu.models.factory import build_task
+    from nope_tpu.training.trainer import Trainer
+
+    cfg = tiny_cfg
+    task = build_task(cfg.model)
+    train_cfg = dataclasses.replace(
+        cfg.data.datasets["shapeNet"], split="unseen_training"
+    )
+    # "unseen_training" gives the airplane objects; treat as training
+    # data by wrapping the test-schema items down to the training keys
+    ds = build_dataset(dataclasses.replace(train_cfg, fast_evaluation=True))
+
+    class TrainView:
+        def __len__(self):
+            return len(ds)
+
+        def __getitem__(self, i):
+            item = ds[i]
+            return {
+                "query": item["query"],
+                "reference": item["reference"],
+                "relativeR": item["gt_relativeR"],
+                "relativeR_inv": item["gt_relativeR"],  # fine for smoke
+            }
+
+    loaders = {"shapeNet": DataLoader(TrainView(), batch_size=2, num_workers=2)}
+    trainer = Trainer(cfg, task, loaders)
+    state = trainer.fit(max_steps=3)
+    assert int(state.step) == 3
+
+    # metrics were logged
+    metrics_path = osp.join(cfg.save_dir, "metrics.jsonl")
+    lines = [json.loads(l) for l in open(metrics_path)]
+    assert any("loss/train_avg" in l for l in lines)
+    losses = [l["loss/train_avg"] for l in lines if "loss/train_avg" in l]
+    assert all(np.isfinite(losses))
+
+    # checkpoint was written at step 2 and resume starts from it
+    trainer2 = Trainer(cfg, task, loaders)
+    state2 = trainer2.init_state(resume=True)
+    assert int(state2.step) in (2, 3)
+
+
+def test_test_shapenet_cli(tiny_cfg, mini_root, capsys):
+    from nope_tpu.cli.test_shapenet import main
+
+    overrides = TINY_OVERRIDES + [
+        f"save_dir={tiny_cfg.save_dir}_cli",
+        "name_exp=cli",
+        "machine.batch_size=2",
+    ]
+    # config file routing: build the data config through overrides is
+    # awkward for dict entries; write a yaml instead
+    import yaml
+
+    cfg_yaml = {
+        "data": {
+            "datasets": {
+                "shapeNet": {
+                    "name": "shapeNet",
+                    "root_dir": mini_root,
+                    "img_size": 32,
+                }
+            }
+        }
+    }
+    cfg_path = osp.join(osp.dirname(tiny_cfg.save_dir), "cli_cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg_yaml, f)
+
+    main(
+        ["--config", cfg_path, "--categories", "bottle", "--max-batches", "1"]
+        + overrides
+    )
+    out = capsys.readouterr().out
+    results = json.loads(out[out.index("{"):])
+    assert "bottle" in results and "mean" in results
+    bottle = results["bottle"]
+    assert "top1, accuracy_15" in bottle and "top5, median" in bottle
+    assert bottle["num_images"] == 2.0
+    assert np.isfinite(bottle["loss"])

@@ -1,0 +1,125 @@
+"""Loader/combiner tests + VSD metric oracle tests."""
+
+import numpy as np
+import pytest
+
+from nope_tpu.data.pipeline import CombinedLoader, ConcatDataset, DataLoader, collate
+from nope_tpu.evaluation import vsd_metrics
+
+
+class ToyDataset:
+    def __init__(self, n, dim=3, offset=0.0):
+        self.n, self.dim, self.offset = n, dim, offset
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"x": np.full((self.dim,), float(i) + self.offset, np.float32)}
+
+
+def test_dataloader_batching_and_shuffling():
+    loader = DataLoader(ToyDataset(10), batch_size=3, shuffle=True, num_workers=2, seed=1)
+    batches = list(loader)
+    assert len(batches) == len(loader) == 3  # drop_last
+    assert all(b["x"].shape == (3, 3) for b in batches)
+    seen = sorted(int(b["x"][i, 0]) for b in batches for i in range(3))
+    assert len(set(seen)) == 9  # distinct items, one dropped
+    # different epoch -> different order
+    b2 = list(loader)
+    assert not all(
+        np.array_equal(a["x"], b["x"]) for a, b in zip(batches, b2)
+    )
+
+
+def test_dataloader_propagates_worker_errors():
+    class Bad(ToyDataset):
+        def __getitem__(self, i):
+            raise RuntimeError("boom")
+
+    loader = DataLoader(Bad(4), batch_size=2, num_workers=2)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(loader)
+
+
+def test_combined_loader_max_size_cycle():
+    big = DataLoader(ToyDataset(8), batch_size=2, shuffle=False)
+    small = DataLoader(ToyDataset(2, offset=100.0), batch_size=2, shuffle=False)
+    combined = CombinedLoader({"big": big, "small": small})
+    steps = list(combined)
+    assert len(steps) == 4  # max over loaders
+    for step in steps:
+        assert set(step) == {"big", "small"}
+        assert step["small"]["x"].min() >= 100.0  # cycled, not exhausted
+
+
+def test_concat_dataset():
+    ds = ConcatDataset([ToyDataset(3), ToyDataset(2, offset=10.0)])
+    assert len(ds) == 5
+    assert float(ds[0]["x"][0]) == 0.0
+    assert float(ds[3]["x"][0]) == 10.0
+    assert float(ds[4]["x"][0]) == 11.0
+
+
+def test_collate():
+    out = collate([{"a": np.zeros(2)}, {"a": np.ones(2)}])
+    assert out["a"].shape == (2, 2)
+
+
+# ---------------------------------------------------------------------------
+# VSD metric oracles
+# ---------------------------------------------------------------------------
+
+
+def test_depth_to_dist_center_pixel():
+    K = np.array([[100.0, 0, 2], [0, 100.0, 2], [0, 0, 1]])
+    depth = np.zeros((5, 5))
+    depth[2, 2] = 7.0  # principal point: distance == depth
+    dist = vsd_metrics.depth_im_to_dist_im(depth, K)
+    np.testing.assert_allclose(dist[2, 2], 7.0)
+    depth[0, 0] = 10.0  # off-axis ray is longer
+    dist = vsd_metrics.depth_im_to_dist_im(depth, K)
+    assert dist[0, 0] > 10.0
+
+
+def test_visib_masks_bop19_missing_depth_visible():
+    d_test = np.zeros((4, 4))  # all missing depth
+    d_model = np.ones((4, 4))
+    mask = vsd_metrics.estimate_visib_mask_gt(d_test, d_model, delta=15.0)
+    assert mask.all()  # bop19: visible where test depth is missing
+    mask18 = vsd_metrics._estimate_visib_mask(d_test, d_model, 15.0, "bop18")
+    assert not mask18.any()
+
+
+def test_vsd_error_perfect_and_wrong():
+    K = np.array([[50.0, 0, 8], [0, 50.0, 8], [0, 0, 1]])
+    gt = np.zeros((16, 16))
+    gt[4:12, 4:12] = 500.0
+    test_depth = gt.copy()
+    # perfect estimate -> error 0
+    assert vsd_metrics.vsd_error_from_depths(test_depth, gt, gt, K) == 0.0
+    # empty estimate -> all GT pixels are "complement" -> error 1
+    empty = np.zeros_like(gt)
+    assert vsd_metrics.vsd_error_from_depths(test_depth, gt, empty, K) == 1.0
+    # both empty -> union empty -> defined as 1
+    assert vsd_metrics.vsd_error_from_depths(test_depth, empty, empty, K) == 1.0
+    # displaced estimate -> partial error in (0, 1)
+    shifted = np.zeros_like(gt)
+    shifted[8:16, 8:16] = 500.0
+    err = vsd_metrics.vsd_error_from_depths(test_depth, gt, shifted, K)
+    assert 0.0 < err <= 1.0
+
+
+def test_vsd_scores_aggregation():
+    errors = np.array(
+        [
+            [0.1, 0.9, 0.9, 0.9, 0.9],  # top1 hit
+            [0.9, 0.2, 0.9, 0.9, 0.9],  # top3 hit
+            [0.9, 0.9, 0.9, 0.9, 0.2],  # top5 hit
+        ]
+    )
+    scores = vsd_metrics.vsd_scores(errors)
+    assert scores["top 1, vsd_scores 0.3"] == pytest.approx(100 / 3)
+    assert scores["top 3, vsd_scores 0.3"] == pytest.approx(200 / 3)
+    assert scores["top 5, vsd_scores 0.3"] == pytest.approx(100.0)
+    assert scores["top 1, vsd_median"] == pytest.approx(0.9)
