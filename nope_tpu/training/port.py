@@ -297,3 +297,255 @@ def assert_tree_shapes_match(ported: dict, template: dict, path: str = "") -> No
                     f"at {path}/{k}: ported shape {np.shape(p)} != expected {np.shape(t)}"
                 )
     logging.debug("port shape check ok at %s", path or "<root>")
+
+
+# ---------------------------------------------------------------------------
+# LDM / ADM U-Nets (openaimodel / guided_diffusion checkpoints)
+# ---------------------------------------------------------------------------
+
+
+def _ldm_resblock(sd: StateDict, key: str) -> dict:
+    out = {
+        "in_norm": _norm(sd, f"{key}.in_layers.0"),
+        "in_conv": _conv(sd, f"{key}.in_layers.2"),
+        "emb_dense": _linear(sd, f"{key}.emb_layers.1"),
+        "out_norm": _norm(sd, f"{key}.out_layers.0"),
+        "out_conv": _conv(sd, f"{key}.out_layers.3"),
+    }
+    if f"{key}.skip_connection.weight" in sd:
+        out["skip_conv"] = _conv(sd, f"{key}.skip_connection")
+    return out
+
+
+def _ldm_cross_attention(sd: StateDict, key: str) -> dict:
+    return {
+        "to_q": {"kernel": linear_kernel(sd[f"{key}.to_q.weight"])},
+        "to_k": {"kernel": linear_kernel(sd[f"{key}.to_k.weight"])},
+        "to_v": {"kernel": linear_kernel(sd[f"{key}.to_v.weight"])},
+        "to_out": _linear(sd, f"{key}.to_out.0"),
+    }
+
+
+def _ldm_transformer(sd: StateDict, key: str, depth: int) -> dict:
+    out = {
+        "norm": _norm(sd, f"{key}.norm"),
+        "proj_in": _conv(sd, f"{key}.proj_in"),
+        "proj_out": _conv(sd, f"{key}.proj_out"),
+    }
+    for d in range(depth):
+        tb = f"{key}.transformer_blocks.{d}"
+        out[f"block_{d}"] = {
+            "norm1": _norm(sd, f"{tb}.norm1"),
+            "norm2": _norm(sd, f"{tb}.norm2"),
+            "norm3": _norm(sd, f"{tb}.norm3"),
+            "attn1": _ldm_cross_attention(sd, f"{tb}.attn1"),
+            "attn2": _ldm_cross_attention(sd, f"{tb}.attn2"),
+            "ff": {
+                "geglu": _linear(sd, f"{tb}.ff.net.0.proj"),
+                "proj": _linear(sd, f"{tb}.ff.net.2"),
+            },
+        }
+    return out
+
+
+def port_ldm_unet(
+    sd: StateDict,
+    channel_mult: Sequence[int] = (1, 2, 4),
+    num_res_blocks: int = 2,
+    attention_resolutions: Sequence[int] = (4, 2, 1),
+    transformer_depth: int = 1,
+    pose_mlp_name: str = "single_layer",
+    injecting_condition_twice: bool = False,
+) -> dict:
+    """LDM ``UNetModelPose`` state dict → ``LDMPoseUNet`` params.
+
+    Walks input/middle/output block indices in the same order the torch
+    ModuleList was assembled (``openaimodel.py:428-792``).  The unused
+    ``time_embed`` MLP (bypassed by the pose forward,
+    ``adapt_openaimodel.py:141-144``) is intentionally dropped.
+    """
+    params: dict = {
+        "conv_in": _conv(sd, "input_blocks.0.0"),
+        "out_norm": _norm(sd, "out.0"),
+        "out_conv": _conv(sd, "out.2"),
+        "mid_res_0": _ldm_resblock(sd, "middle_block.0"),
+        "mid_attn": _ldm_transformer(sd, "middle_block.1", transformer_depth),
+        "mid_res_1": _ldm_resblock(sd, "middle_block.2"),
+    }
+    if pose_mlp_name == "single_layer":
+        params["pose_mlp"] = {"fc0": _linear(sd, "pose_mlp.0")}
+        if injecting_condition_twice:
+            params["pose_mlp_timesteps"] = {"fc0": _linear(sd, "pose_mlp_timesteps.0")}
+    elif pose_mlp_name == "two_layers":
+        params["pose_mlp"] = {"fc0": _linear(sd, "pose_mlp.0"),
+                              "fc1": _linear(sd, "pose_mlp.2")}
+
+    idx = 1
+    ds = 1
+    for level in range(len(channel_mult)):
+        for i in range(num_res_blocks):
+            params[f"down_{level}_res_{i}"] = _ldm_resblock(sd, f"input_blocks.{idx}.0")
+            if ds in attention_resolutions:
+                params[f"down_{level}_attn_{i}"] = _ldm_transformer(
+                    sd, f"input_blocks.{idx}.1", transformer_depth
+                )
+            idx += 1
+        if level != len(channel_mult) - 1:
+            params[f"down_{level}_downsample"] = _conv(sd, f"input_blocks.{idx}.0.op")
+            idx += 1
+            ds *= 2
+
+    jdx = 0
+    for level in list(range(len(channel_mult)))[::-1]:
+        for i in range(num_res_blocks + 1):
+            params[f"up_{level}_res_{i}"] = _ldm_resblock(sd, f"output_blocks.{jdx}.0")
+            sub = 1
+            if ds in attention_resolutions:
+                params[f"up_{level}_attn_{i}"] = _ldm_transformer(
+                    sd, f"output_blocks.{jdx}.{sub}", transformer_depth
+                )
+                sub += 1
+            if level and i == num_res_blocks:
+                params[f"up_{level}_upsample"] = _conv(
+                    sd, f"output_blocks.{jdx}.{sub}.conv"
+                )
+                ds //= 2
+            jdx += 1
+    return params
+
+
+def _adm_attention(sd: StateDict, key: str) -> dict:
+    return {
+        "norm": _norm(sd, f"{key}.norm"),
+        "qkv": _conv_1d_as_2d(sd, f"{key}.qkv"),
+        "proj_out": _conv_1d_as_2d(sd, f"{key}.proj_out"),
+    }
+
+
+def _conv_1d_as_2d(sd: StateDict, key: str) -> dict:
+    """ADM attention uses conv_nd(1, ...) over flattened tokens; our
+    NHWC module uses an equivalent 1x1 Conv2d."""
+    w = sd[f"{key}.weight"]
+    if w.ndim == 3:  # (O, I, 1)
+        w = w[:, :, :, None]
+    p = {"kernel": conv_kernel(w)}
+    if f"{key}.bias" in sd:
+        p["bias"] = sd[f"{key}.bias"]
+    return p
+
+
+def port_adm_unet(
+    sd: StateDict,
+    channel_mult: Sequence[int] = (1, 1, 2, 2, 4, 4),
+    num_res_blocks: int = 2,
+    attention_resolutions: Sequence[int] = (32, 16, 8),
+    resblock_updown: bool = True,
+    pose_mlp_name: str = "single_layer",
+) -> dict:
+    """guided-diffusion ``UNetModelPose`` state dict → ``ADMPoseUNet``
+    params (``guided_diffusion/u_net.py:389-660`` assembly order)."""
+    params: dict = {
+        "conv_in": _conv(sd, "input_blocks.0.0"),
+        "out_norm": _norm(sd, "out.0"),
+        "out_conv": _conv(sd, "out.2"),
+        "mid_res_0": _ldm_resblock(sd, "middle_block.0"),
+        "mid_attn": _adm_attention(sd, "middle_block.1"),
+        "mid_res_1": _ldm_resblock(sd, "middle_block.2"),
+    }
+    if pose_mlp_name == "single_layer":
+        params["pose_mlp"] = {"fc0": _linear(sd, "pose_mlp.0")}
+    elif pose_mlp_name == "two_layers":
+        params["pose_mlp"] = {"fc0": _linear(sd, "pose_mlp.0"),
+                              "fc1": _linear(sd, "pose_mlp.2")}
+
+    idx = 1
+    ds = 1
+    for level in range(len(channel_mult)):
+        for i in range(num_res_blocks):
+            params[f"down_{level}_res_{i}"] = _ldm_resblock(sd, f"input_blocks.{idx}.0")
+            if ds in attention_resolutions:
+                params[f"down_{level}_attn_{i}"] = _adm_attention(
+                    sd, f"input_blocks.{idx}.1"
+                )
+            idx += 1
+        if level != len(channel_mult) - 1:
+            if resblock_updown:
+                params[f"down_{level}_downsample"] = _ldm_resblock(
+                    sd, f"input_blocks.{idx}.0"
+                )
+            else:
+                params[f"down_{level}_downsample"] = _conv(
+                    sd, f"input_blocks.{idx}.0.op"
+                )
+            idx += 1
+            ds *= 2
+
+    jdx = 0
+    for level in list(range(len(channel_mult)))[::-1]:
+        for i in range(num_res_blocks + 1):
+            params[f"up_{level}_res_{i}"] = _ldm_resblock(sd, f"output_blocks.{jdx}.0")
+            sub = 1
+            if ds in attention_resolutions:
+                params[f"up_{level}_attn_{i}"] = _adm_attention(
+                    sd, f"output_blocks.{jdx}.{sub}"
+                )
+                sub += 1
+            if level and i == num_res_blocks:
+                if resblock_updown:
+                    params[f"up_{level}_upsample"] = _ldm_resblock(
+                        sd, f"output_blocks.{jdx}.{sub}"
+                    )
+                else:
+                    params[f"up_{level}_upsample"] = _conv(
+                        sd, f"output_blocks.{jdx}.{sub}.conv"
+                    )
+                ds //= 2
+            jdx += 1
+    return params
+
+
+# ---------------------------------------------------------------------------
+# template encoder (ResNet-50 + projector)
+# ---------------------------------------------------------------------------
+
+
+def _frozen_bn(sd: StateDict, key: str) -> dict:
+    return {
+        "scale": sd[f"{key}.weight"],
+        "bias": sd[f"{key}.bias"],
+        "mean": sd[f"{key}.running_mean"],
+        "var": sd[f"{key}.running_var"],
+    }
+
+
+def port_template_encoder(
+    sd: StateDict, layers: Sequence[int] = (3, 4, 6, 3)
+) -> dict:
+    """Template-pose ``FeatureExtractor`` state dict →
+    ``TemplateFeatureExtractor`` params (``encoder/template.py:24-53``:
+    ResNet-50 backbone + projector.{1,3} 1x1 convs)."""
+    backbone: dict = {
+        "conv1": _conv(sd, "backbone.conv1"),
+        "bn1": _frozen_bn(sd, "backbone.bn1"),
+    }
+    for li, n_blocks in enumerate(layers):
+        for bi in range(n_blocks):
+            key = f"backbone.layer{li + 1}.{bi}"
+            block = {
+                "conv1": _conv(sd, f"{key}.conv1"),
+                "bn1": _frozen_bn(sd, f"{key}.bn1"),
+                "conv2": _conv(sd, f"{key}.conv2"),
+                "bn2": _frozen_bn(sd, f"{key}.bn2"),
+            }
+            if f"{key}.conv3.weight" in sd:
+                block["conv3"] = _conv(sd, f"{key}.conv3")
+                block["bn3"] = _frozen_bn(sd, f"{key}.bn3")
+            if f"{key}.downsample.0.weight" in sd:
+                block["downsample_conv"] = _conv(sd, f"{key}.downsample.0")
+                block["downsample_bn"] = _frozen_bn(sd, f"{key}.downsample.1")
+            backbone[f"layer{li + 1}_{bi}"] = block
+    return {
+        "backbone": backbone,
+        "proj1": _conv(sd, "projector.1"),
+        "proj2": _conv(sd, "projector.3"),
+    }
