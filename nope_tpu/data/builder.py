@@ -47,6 +47,39 @@ def build_dataset(cfg: DatasetConfig):
     raise ValueError(f"unknown dataset {cfg.name!r}")
 
 
+def _detect_train_split(root_dir: str) -> str:
+    """The reference auto-detects the single train/val split folder of a
+    BOP texture dataset (train.py:78-91)."""
+    import os
+
+    splits = [
+        s
+        for s in os.listdir(root_dir)
+        if os.path.isdir(os.path.join(root_dir, s))
+        and (s.startswith("train") or s.startswith("val"))
+    ]
+    if len(splits) != 1:
+        raise ValueError(f"expected exactly one train/val split in {root_dir}, got {splits}")
+    return splits[0]
+
+
+def build_bop_texture_group(cfg: ExperimentConfig, group: DatasetConfig):
+    """The ``bop_texture`` multi-dataset group: every member BOP dataset
+    concatenated into one (train.py:73-98).  Members are named in
+    ``group.extra['members']`` and refer to other entries of
+    cfg.data.datasets."""
+    import dataclasses
+
+    members = group.extra.get("members", [])
+    datasets = []
+    for member in members:
+        m_cfg = dataclasses.replace(cfg.data.datasets[member])
+        m_cfg.split = _detect_train_split(m_cfg.root_dir)
+        m_cfg.reset_metaData = False
+        datasets.append(build_dataset(m_cfg))
+    return ConcatDataset(datasets)
+
+
 def build_train_loaders(cfg: ExperimentConfig) -> Dict[str, DataLoader]:
     """Training loaders for each name in cfg.train_data_name, with the
     reference's split fixups (train.py:64-121)."""
@@ -55,7 +88,10 @@ def build_train_loaders(cfg: ExperimentConfig) -> Dict[str, DataLoader]:
         ds_cfg = cfg.data.datasets[name]
         if name == "shapeNet":
             ds_cfg.split = "training"
-        dataset = build_dataset(ds_cfg)
+        if name == "bop_texture":
+            dataset = build_bop_texture_group(cfg, ds_cfg)
+        else:
+            dataset = build_dataset(ds_cfg)
         loaders[name] = DataLoader(
             dataset,
             batch_size=cfg.machine.batch_size,

@@ -1,0 +1,111 @@
+"""Visualization helpers (torch-free).
+
+Equivalents of ``/root/reference/src/utils/visualization_utils.py``:
+interleaved image grids (reference | query | prediction columns),
+labelled retrieval panels, similarity heatmaps, and pose-axis overlays.
+Images are numpy NHWC float in [0, 1] (or [-1, 1], see ``unnormalize``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+def unnormalize(img: np.ndarray) -> np.ndarray:
+    """[-1, 1] → [0, 1] clipped (src/model/utils.py:12-15)."""
+    return np.clip((np.asarray(img) + 1.0) * 0.5, 0.0, 1.0)
+
+
+def put_image_to_grid(
+    list_imgs: Sequence[np.ndarray], adding_margin: bool = True
+) -> tuple[np.ndarray, int]:
+    """Interleave k image stacks row-major so sample i shows its k
+    variants side by side (``visualization_utils.py:43-57``): returns a
+    (B * (k[+1]), H, W, 3) stack plus the column count."""
+    num_col = len(list_imgs)
+    b, h, w, _ = list_imgs[0].shape
+    ncols = num_col + 1 if adding_margin else num_col
+    grid = np.zeros((b * ncols, h, w, 3), dtype=np.float32)
+    for i, imgs in enumerate(list_imgs):
+        grid[i::ncols][:b] = imgs[..., :3]
+    return grid, num_col + 1
+
+
+def tile_images(images: np.ndarray, nrow: int) -> np.ndarray:
+    """(N, H, W, C) → single (rows*H, nrow*W, C) montage (torchvision
+    ``make_grid`` spirit)."""
+    n, h, w, c = images.shape
+    rows = -(-n // nrow)
+    canvas = np.zeros((rows * h, nrow * w, c), dtype=images.dtype)
+    for i in range(n):
+        r, col = divmod(i, nrow)
+        canvas[r * h : (r + 1) * h, col * w : (col + 1) * w] = images[i]
+    return canvas
+
+
+def save_image_grid(
+    list_imgs: Sequence[np.ndarray], path: str, nrow: Optional[int] = None
+) -> str:
+    """Save an interleaved comparison grid as PNG."""
+    from PIL import Image
+
+    grid, ncol = put_image_to_grid(list_imgs)
+    nrow = nrow if nrow is not None else ncol * 4
+    canvas = tile_images(grid, nrow)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    Image.fromarray((np.clip(canvas, 0, 1) * 255).astype(np.uint8)).save(path)
+    return path
+
+
+def similarity_heatmap(similarity: np.ndarray) -> np.ndarray:
+    """(N,) viewpoint similarities → (N, 3) magma-style colors without
+    matplotlib: a compact 5-stop colormap interpolation."""
+    sim = np.asarray(similarity, dtype=np.float64)
+    lo, hi = sim.min(), sim.max()
+    t = (sim - lo) / (hi - lo + 1e-12)
+    stops = np.array(
+        [
+            [0.001, 0.000, 0.014],
+            [0.283, 0.121, 0.443],
+            [0.717, 0.215, 0.475],
+            [0.987, 0.535, 0.382],
+            [0.987, 0.991, 0.750],
+        ]
+    )
+    idx = t * (len(stops) - 1)
+    i0 = np.clip(idx.astype(int), 0, len(stops) - 2)
+    frac = (idx - i0)[..., None]
+    return stops[i0] * (1 - frac) + stops[i0 + 1] * frac
+
+
+def draw_pose_axes(
+    img: np.ndarray, K: np.ndarray, pose: np.ndarray, length: float = 0.1
+) -> np.ndarray:
+    """Overlay XYZ axes of an object pose (RGB = XYZ), cv2-based."""
+    import cv2
+
+    img = (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8).copy()
+    R, t = pose[:3, :3], pose[:3, 3]
+    pts = np.float32([[0, 0, 0], [length, 0, 0], [0, length, 0], [0, 0, length]])
+    cam = pts @ R.T + t
+    uv = (cam @ np.asarray(K).T)
+    uv = (uv[:, :2] / uv[:, 2:3]).astype(int)
+    for end, color in zip(uv[1:], [(255, 0, 0), (0, 255, 0), (0, 0, 255)]):
+        cv2.line(img, tuple(uv[0]), tuple(end), color, 2)
+    return img.astype(np.float32) / 255.0
+
+
+def write_video(frames: List[np.ndarray], path: str, fps: int = 5) -> str:
+    """Template-sweep video (``model.py:243-249``); imageio-gated."""
+    import imageio
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    frames8 = [
+        (np.clip(f, 0, 1) * 255).astype(np.uint8) if f.dtype != np.uint8 else f
+        for f in frames
+    ]
+    imageio.mimwrite(path, frames8, fps=fps)
+    return path

@@ -1,0 +1,174 @@
+"""Utility + offline-generation tests: visualization grids, I/O, pose
+sampling, the generation driver (dry-run), and the VSD harness with a
+mocked renderer."""
+
+import json
+import os
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from nope_tpu.utils import inout, visualization
+from nope_tpu.geometry import so3_grid
+
+
+def test_put_image_to_grid_interleaves():
+    a = np.zeros((2, 4, 4, 3), np.float32)
+    b = np.ones((2, 4, 4, 3), np.float32)
+    grid, ncol = visualization.put_image_to_grid([a, b])
+    assert ncol == 3
+    assert grid.shape == (2 * 3, 4, 4, 3)
+    assert grid[0].max() == 0.0 and grid[1].min() == 1.0  # sample0: a, b
+    assert grid[3].max() == 0.0 and grid[4].min() == 1.0  # sample1: a, b
+    assert grid[2].max() == 0.0 and grid[5].max() == 0.0  # margin columns
+
+
+def test_tile_and_save_grid(tmp_path):
+    imgs = [np.random.default_rng(0).uniform(0, 1, (2, 8, 8, 3)).astype(np.float32)]
+    path = visualization.save_image_grid(imgs, str(tmp_path / "grid.png"))
+    assert osp.exists(path)
+
+
+def test_similarity_heatmap_range():
+    colors = visualization.similarity_heatmap(np.linspace(-3, 5, 41))
+    assert colors.shape == (41, 3)
+    assert colors.min() >= 0.0 and colors.max() <= 1.0
+    # monotone brightness along the colormap
+    assert colors.sum(1)[0] < colors.sum(1)[-1]
+
+
+def test_inout_roundtrip(tmp_path):
+    p = tmp_path / "x.json"
+    inout.save_json(str(p), {"a": np.float32(1.5), "b": np.arange(3)})
+    back = inout.load_json(str(p))
+    assert back == {"a": 1.5, "b": [0, 1, 2]}
+    t = tmp_path / "x.txt"
+    inout.write_txt(str(t), ["a", "b"])
+    assert inout.open_txt(str(t)) == ["a", "b"]
+
+
+def test_sample_camera_poses_upper_hemisphere():
+    from nope_tpu.scripts.generate_data import sample_camera_poses
+
+    rng = np.random.default_rng(0)
+    poses = sample_camera_poses(rng, 64, radius=1.2)
+    assert poses.shape == (64, 4, 4)
+    # cameras on the upper hemisphere: inverse translation z >= 0
+    from nope_tpu.geometry.transforms import inverse_transform
+
+    for p in poses[:8]:
+        cam = inverse_transform(p)
+        assert cam[2, 3] >= -1e-6
+        np.testing.assert_allclose(np.linalg.norm(cam[:3, 3]), 1.2, atol=1e-5)
+    # valid rotations
+    rots = poses[:, :3, :3]
+    eye = np.einsum("bij,bkj->bik", rots, rots)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (64, 1, 1)), atol=1e-5)
+
+
+def test_generate_object_poses_and_driver_dry_run(tmp_path):
+    from nope_tpu.scripts.generate_data import (
+        generate_object_poses,
+        run_generate,
+    )
+
+    save_dir = str(tmp_path)
+    inout.write_txt(osp.join(save_dir, "cad_paths.txt"), ["/fake/cad0.obj"])
+    inout.write_txt(osp.join(save_dir, "cad_names.txt"), ["02691156_cad0"])
+    inout.save_json(osp.join(save_dir, "obj_diameter.json"), {"02691156_cad0": 0.8})
+
+    run_generate(save_dir, num_workers=1, dry_run=True)
+
+    q = np.load(osp.join(save_dir, "object_query_poses", "obj_000000.npy"))
+    r = np.load(osp.join(save_dir, "object_reference_poses", "obj_000000.npy"))
+    t = np.load(osp.join(save_dir, "object_template_poses", "obj_000000.npy"))
+    assert q.shape == (5, 4, 4) and r.shape == (5, 4, 4)
+    assert t.shape == (642, 4, 4)
+    # template translations rescaled to 1.2 * diameter
+    np.testing.assert_allclose(
+        np.linalg.norm(t[:, :3, 3], axis=1), 1.2 * 0.8, atol=1e-5
+    )
+    assert osp.exists(osp.join(save_dir, "failed_renderings_0_1.txt"))
+
+
+def test_vsd_frame_error_mocked(monkeypatch, tmp_path):
+    """evaluate_vsd_batch end-to-end with rendering mocked out: the
+    correct retrieved pose scores better than a displaced one."""
+    import sys
+    import types
+
+    import cv2
+
+    from nope_tpu.evaluation import vsd as vsd_mod
+
+    K = np.array([[100.0, 0, 16], [0, 100.0, 16], [0, 0, 1]])
+
+    def fake_depth(pose):
+        d = np.zeros((32, 32))
+        offset = int(8 + 8 * np.clip(pose[0, 0], -1, 1))
+        d[offset : offset + 10, offset : offset + 10] = 500.0
+        return d
+
+    monkeypatch.setattr(
+        vsd_mod,
+        "_render_depths",
+        lambda mesh, poses, K_, size: [
+            fake_depth(p) for p in np.atleast_3d(poses).reshape(-1, 4, 4)
+        ],
+    )
+    fake_mesh_mod = types.SimpleNamespace(load_mesh=lambda path: "trimesh")
+    monkeypatch.setitem(sys.modules, "nope_tpu.utils.mesh", fake_mesh_mod)
+    fake_pyrender = types.SimpleNamespace(
+        Mesh=types.SimpleNamespace(from_trimesh=lambda m: m)
+    )
+    monkeypatch.setitem(sys.modules, "pyrender", fake_pyrender)
+
+    gt_pose = np.eye(4)
+    gt_pose[:3, 3] = [0, 0, 0.5]
+    depth_path = str(tmp_path / "depth.png")
+    cv2.imwrite(depth_path, (fake_depth(gt_pose) * 10).astype(np.uint16))
+
+    good = gt_pose.copy()
+    bad = gt_pose.copy()
+    bad[0, 0] = -1.0  # displaces the fake depth square
+    frame = vsd_mod.VSDFrame(
+        cad_path="/fake.ply",
+        intrinsic=K,
+        depth_path=depth_path,
+        pred_poses=np.stack([good, bad]),
+        gt_pose=gt_pose,
+    )
+    errors = vsd_mod.evaluate_vsd_batch([frame], num_workers=0)
+    assert errors.shape == (1, 2)
+    assert errors[0, 0] < 0.05  # correct pose: near-zero VSD
+    assert errors[0, 1] > 0.5  # displaced pose: high VSD
+
+    from nope_tpu.evaluation.vsd_metrics import vsd_scores
+
+    scores = vsd_scores(np.tile(errors, (4, 2)[:1] + (1,)))
+    assert scores["top 1, vsd_scores 0.3"] in (0.0, 100.0)
+
+
+def test_build_vsd_frames_schema():
+    from nope_tpu.evaluation.vsd import build_vsd_frames
+
+    grid = so3_grid.load_obj_poses(0)[:, :3, :3]
+    batch = {
+        "query_translation": np.tile([0.0, 0.0, 500.0], (2, 1)),
+        "query_pose": grid[:2],
+        "intrinsic": np.tile(np.eye(3), (2, 1, 1)),
+        "depth_path": ["/a.png", "/b.png"],
+        "obj_id": np.array([1, 2]),
+    }
+    nearest = np.array([[0, 1, 2], [3, 4, 5]])
+    frames = build_vsd_frames(
+        batch, nearest, grid, cad_paths={1: "/m1.ply", 2: "/m2.ply"}
+    )
+    assert len(frames) == 2
+    assert frames[0].pred_poses.shape == (3, 4, 4)
+    np.testing.assert_allclose(
+        frames[0].pred_poses[:, :3, 3], np.tile([0.0, 0.0, 500.0], (3, 1))
+    )
+    np.testing.assert_allclose(frames[1].gt_pose[:3, :3], grid[1])
+    assert frames[1].cad_path == "/m2.ply"
