@@ -230,6 +230,12 @@ class ShapeNetDataset:
                 img = Image.open(io.BytesIO(archive.read(inner)))
                 img.load()
             img.save(path)
+        arr = np.asarray(img)
+        if arr.ndim == 3 and arr.shape[2] == 4:
+            # native C++ composite when built; numpy fallback inside
+            from nope_tpu import native
+
+            return native.composite_rgba_black(arr)
         mask = img.getchannel("A")
         black = Image.new("RGB", img.size, (0, 0, 0))
         black.paste(img, mask=mask)
