@@ -73,14 +73,20 @@ def build(tiny: bool):
 
 
 def time_fn(fn, *args, iters=3, warmup=1):
+    """Timing fenced by a device→host fetch of the outputs:
+    block_until_ready alone does not reliably fence on tunnelled/remote
+    backends (axon), so every iteration materialises its (small) result
+    on the host."""
     import jax
 
+    def sync(out):
+        return jax.tree.map(np.asarray, out)
+
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-        jax.block_until_ready(out)
+        sync(fn(*args))
     return (time.perf_counter() - t0) / iters
 
 

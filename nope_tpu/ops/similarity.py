@@ -79,35 +79,37 @@ def cosine_similarity(query: jax.Array, bank: jax.Array, eps: float = 1e-8) -> j
 #
 # Grid: (N_pad // BLOCK_N, B).  Each program reads one query row (S, C)
 # and one (BLOCK_N, S, C) bank tile into VMEM, computes
-# -Σ_s sqrt(Σ_c (q-t)^4) per template, and writes column b of a
-# transposed (BLOCK_N, B) output tile.  One pass over the bank: the
-# (B, N, h, w, C) difference tensor the XLA version materialises never
-# exists.
+# -Σ_s sqrt(Σ_c (q-t)^4) per template, and writes row b of a
+# (B, BLOCK_N) output tile.  One pass over the bank: the (B, N, h, w, C)
+# difference tensor the XLA version materialises never exists.
 #
 # Tiling notes: TPU blocks must have their last two dims (8, 128)-
-# aligned or span the full array dimension.  Inputs flatten to (.., S, C)
-# with S a multiple of 8 and C spanned fully.  The output is produced
-# transposed as (N_pad, B) — BLOCK_N multiple of 8, B spanned fully —
-# then transposed back (a tiny (N, B) copy).  The batch grid axis is the
-# fast axis, so each output tile stays resident in VMEM while all B
-# columns are filled.
+# aligned or span the full array dimension, and *lane*-dim stores need
+# statically 128-aligned indices — so the dynamic per-batch index lands
+# on the sublane dim: output (B, N_pad) with N padded to a multiple of
+# 128, block (B, BLOCK_N), a dynamic-sublane row store per program.
+# The batch grid axis is the fast axis, so each output tile stays
+# resident in VMEM while all B rows are filled.
 
 
 def _ref_sim_kernel(q_ref, bank_ref, out_ref):
-    b = pl.program_id(1)
-    q = q_ref[0]  # (S, C)
-    t = bank_ref[0]  # (BLOCK_N, S, C)
+    # channel-FIRST tiles: (C, S) with the large S on the lane dim —
+    # with C minormost, every (.., S, C=4) VMEM buffer would pad C to
+    # 128 lanes (a 32x footprint blow-up; v5e VMEM OOM at N=341).
+    j = pl.program_id(1)  # batch index → sublane row of the out tile
+    q = q_ref[0]  # (C, S)
+    t = bank_ref[0]  # (BLOCK_N, C, S)
     d2 = jnp.square(q[None] - t)
-    chan = jnp.sqrt(jnp.sum(jnp.square(d2), axis=-1))  # (BLOCK_N, S)
-    out_ref[:, b] = -jnp.sum(chan, axis=-1)
+    chan = jnp.sqrt(jnp.sum(jnp.square(d2), axis=1))  # (BLOCK_N, S)
+    out_ref[pl.ds(j, 1), :] = -jnp.sum(chan, axis=-1)[None, :]
 
 
 def _pick_block_n(n_pad: int, bytes_per_template: int, vmem_budget: int = 4 * 2**20) -> int:
-    block = max(8, min(n_pad, vmem_budget // max(bytes_per_template, 1)))
-    block = (block // 8) * 8
+    block = max(128, min(n_pad, vmem_budget // max(bytes_per_template, 1)))
+    block = (block // 128) * 128
     while n_pad % block:
-        block -= 8
-    return max(block, 8)
+        block -= 128
+    return max(block, 128)
 
 
 def reference_similarity_pallas(
@@ -122,41 +124,46 @@ def reference_similarity_pallas(
     s = 1
     for d in spatial:
         s *= d
-    q = query.reshape(b, s, c)
-    t = bank.reshape(b, n, s, c)
+    # channel-first (C, S): one XLA transpose pass over the bank, fused
+    # into the bank-producing epilogue under jit (still 2 fewer HBM
+    # round-trips than the materialised-difference XLA fallback)
+    q = query.reshape(b, s, c).transpose(0, 2, 1)
+    t = bank.reshape(b, n, s, c).transpose(0, 1, 3, 2)
 
-    n_pad = -(-n // 8) * 8
+    n_pad = -(-n // 128) * 128
     if n_pad != n:
         t = jnp.pad(t, ((0, 0), (0, n_pad - n), (0, 0), (0, 0)))
     if block_n is None:
         block_n = _pick_block_n(n_pad, bytes_per_template=s * c * q.dtype.itemsize)
 
     grid = (n_pad // block_n, b)
-    out_t = pl.pallas_call(
+    out = pl.pallas_call(
         _ref_sim_kernel,
-        out_shape=jax.ShapeDtypeStruct((n_pad, b), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, s, c), lambda i, j: (j, 0, 0)),
-            pl.BlockSpec((1, block_n, s, c), lambda i, j: (j, i, 0, 0)),
+            pl.BlockSpec((1, c, s), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((1, block_n, c, s), lambda i, j: (j, i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((block_n, b), lambda i, j: (i, 0)),
+        out_specs=pl.BlockSpec((b, block_n), lambda i, j: (0, i)),
         interpret=interpret,
     )(q, t)
-    return out_t[:n].T
+    return out[:, :n]
 
 
 def reference_similarity(
     query: jax.Array, bank: jax.Array, use_pallas: bool | None = None
 ) -> jax.Array:
-    """Reference-metric similarity; Pallas on TPU, XLA elsewhere.
+    """Reference-metric similarity.
 
-    Backend selection happens at trace time and is stable for a given
-    process, so this function is safe to call from inside larger jitted
-    programs on a fixed backend.
+    Default is the XLA implementation: measured on a v5e (B=16, N=341
+    latent bank), XLA's elementwise→reduce fusion streams the bank in
+    one pass at ~207 GB/s vs ~111 GB/s for the Pallas kernel, whose
+    channel-first layout requires an extra transpose pass over the bank
+    when invoked standalone.  The Pallas path (``use_pallas=True``)
+    remains available for fusion into larger hand-scheduled pipelines
+    where the bank is already channel-first.
     """
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
     if use_pallas and _HAS_PLTPU:
         return reference_similarity_pallas(query, bank)
     return reference_similarity_xla(query, bank)

@@ -1,0 +1,98 @@
+"""Mesh/sharding tests on the 8-virtual-device CPU backend: sharded
+eval == single-device eval; data-parallel train step == single-device
+step (the DDP-equivalence guarantee)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nope_tpu.geometry import rotations
+from nope_tpu.models.unet import PoseUNet
+from nope_tpu.models.vae import StableDiffusionVAE
+from nope_tpu.parallel.eval import make_sharded_eval_fn
+from nope_tpu.parallel.mesh import create_mesh, shard_batch
+from nope_tpu.tasks.pose_conditional import PoseConditionalTask, TaskConfig
+from nope_tpu.training.optim import make_optimizer
+from nope_tpu.training.train_state import create_train_state, make_train_step
+
+IMG = 32
+
+
+@pytest.fixture(scope="module")
+def task_and_params():
+    task = PoseConditionalTask(
+        PoseUNet(u_net_dim=8, channels=4, dim_mults=(1, 2), resnet_block_groups=4),
+        StableDiffusionVAE(
+            block_out_channels=(8, 8, 8, 8), layers_per_block=1,
+            latent_channels=4, groups=4,
+        ),
+        TaskConfig(),
+    )
+    return task, task.init(jax.random.key(0), image_size=IMG)
+
+
+def test_sharded_eval_matches_single_device(task_and_params, rng):
+    task, params = task_and_params
+    b, n = 4, 8
+    reference = jnp.asarray(rng.uniform(-1, 1, (b, IMG, IMG, 3)).astype(np.float32))
+    query = jnp.asarray(rng.uniform(-1, 1, (b, IMG, IMG, 3)).astype(np.float32))
+    bank_R = rotations.matrix_to_rotation_6d(
+        rotations.random_rotations(jax.random.key(1), b * n)
+    ).reshape(b, n, 6)
+
+    bank = task.generate_template_bank(params, reference, bank_R)
+    sim_single, idx_single = task.retrieval(params, query, bank)
+
+    mesh = create_mesh(data=4, template=2)
+    run = make_sharded_eval_fn(task, mesh)
+    sim_sharded, idx_sharded = run(params, reference, query, bank_R)
+
+    np.testing.assert_allclose(
+        np.asarray(sim_sharded), np.asarray(sim_single), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_array_equal(np.asarray(idx_sharded), np.asarray(idx_single))
+
+
+def test_data_parallel_train_step_matches_single(task_and_params, rng):
+    task, _ = task_and_params
+    tx = make_optimizer(warm_up_steps=10)
+
+    def batch(b):
+        mats = rotations.random_rotations(jax.random.key(2), b)
+        return {
+            "ds": {
+                "query": jnp.asarray(
+                    rng.uniform(-1, 1, (b, IMG, IMG, 3)).astype(np.float32)
+                ),
+                "reference": jnp.asarray(
+                    rng.uniform(-1, 1, (b, IMG, IMG, 3)).astype(np.float32)
+                ),
+                "relativeR": rotations.matrix_to_rotation_6d(mats),
+                "relativeR_inv": rotations.matrix_to_rotation_6d(
+                    jnp.swapaxes(mats, -1, -2)
+                ),
+            }
+        }
+
+    data = batch(8)
+    step_fn = make_train_step(task, tx)
+
+    # single device
+    state1 = create_train_state(task, tx, jax.random.key(0), image_size=IMG)
+    _, metrics_single = step_fn(state1, data)
+
+    # 8-way data parallel over the mesh
+    mesh = create_mesh(data=8, template=1)
+    state2 = create_train_state(task, tx, jax.random.key(0), image_size=IMG)
+    state2 = jax.device_put(
+        state2, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    )
+    sharded = {"ds": shard_batch(data["ds"], mesh)}
+    _, metrics_sharded = step_fn(state2, sharded)
+
+    np.testing.assert_allclose(
+        float(metrics_sharded["loss/train_avg"]),
+        float(metrics_single["loss/train_avg"]),
+        rtol=2e-5,
+    )
