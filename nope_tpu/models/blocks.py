@@ -280,3 +280,119 @@ class PoseMLP(nn.Module):
                 raise ValueError("out_dim must be divisible by 6 for posEncoding")
             return SinusoidalPosEmb(dim=self.out_dim // 6)(pose)
         raise ValueError(f"unknown pose_mlp kind {self.kind!r}")
+
+
+class DualConditionalResnetBlock(nn.Module):
+    """FiLM block conditioned on (time+class) embeddings *and* a
+    reference feature map (``model_utils.py:317-364``
+    DualConditionalResnetBlockv4): the embedding MLP and a Block-encoded
+    reference map are summed into one scale/shift."""
+
+    dim_out: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        ref: Optional[jax.Array] = None,
+        time_emb: Optional[jax.Array] = None,
+        class_emb: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        scale_shift = None
+        if ref is not None and time_emb is not None and class_emb is not None:
+            cond = jnp.concatenate([time_emb, class_emb], axis=-1)
+            cond = nn.Dense(self.dim_out * 2, name="mlp_dense")(nn.silu(cond))
+            cond = cond[:, None, None, :]
+            ref_emb = Block(self.dim_out * 2, groups=self.groups, name="mlp_ref")(ref)
+            cond = cond + ref_emb
+            scale_shift = (cond[..., : self.dim_out], cond[..., self.dim_out :])
+        h = Block(self.dim_out, groups=self.groups, name="block1")(x, scale_shift)
+        h = Block(self.dim_out, groups=self.groups, name="block2")(h)
+        if x.shape[-1] != self.dim_out:
+            res = nn.Conv(self.dim_out, (1, 1), name="res_conv")(x)
+        else:
+            res = x
+        return h + res
+
+
+def timestep_embedding(timesteps: jax.Array, dim: int, max_period: int = 10000) -> jax.Array:
+    """Sinusoidal timestep embedding (``ldm/util.py:139-159``): kept for
+    diffusion-style extensions; NOPE's pose forward bypasses it."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half) / half)
+    args = timesteps[:, None].astype(jnp.float32) * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+class ChannelLayerNorm(nn.Module):
+    """imagen-style LayerNorm with learned gain only, over an arbitrary
+    axis (``model_utils.py:421-439``): (x - mean) * rsqrt(var + eps) * g."""
+
+    axis: int = -1
+    stable: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.stable:
+            x = x / jax.lax.stop_gradient(jnp.max(x, axis=self.axis, keepdims=True))
+        eps = 1e-5 if x.dtype == jnp.float32 else 1e-3
+        var = jnp.var(x, axis=self.axis, keepdims=True)
+        mean = jnp.mean(x, axis=self.axis, keepdims=True)
+        g = self.param("g", nn.initializers.ones, (x.shape[self.axis],))
+        shape = [1] * x.ndim
+        shape[self.axis] = -1
+        return (x - mean) * jax.lax.rsqrt(var + eps) * g.reshape(shape)
+
+
+class ImagenCrossAttention(nn.Module):
+    """imagen-lineage cross-attention with null key/value (classifier-
+    free guidance) and cosine-sim scaled QK (``model_utils.py:442-518``).
+    Unused by the NOPE forward path; provided for block-library parity
+    and extensions."""
+
+    heads: int = 8
+    dim_head: int = 64
+    scale: float = 8.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: jax.Array,
+                 mask: Optional[jax.Array] = None) -> jax.Array:
+        b, n, dim = x.shape
+        inner = self.heads * self.dim_head
+        x_n = ChannelLayerNorm(name="norm")(x)
+        q = nn.Dense(inner, use_bias=False, name="to_q")(x_n)
+        kv = nn.Dense(inner * 2, use_bias=False, name="to_kv")(context)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        def heads_split(t):
+            return t.reshape(b, -1, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+        q, k, v = heads_split(q), heads_split(k), heads_split(v)
+        null_kv = self.param(
+            "null_kv", nn.initializers.normal(1.0), (2, self.dim_head)
+        )
+        nk = jnp.broadcast_to(null_kv[0], (b, self.heads, 1, self.dim_head))
+        nv = jnp.broadcast_to(null_kv[1], (b, self.heads, 1, self.dim_head))
+        k = jnp.concatenate([nk, k], axis=2)
+        v = jnp.concatenate([nv, v], axis=2)
+
+        def l2norm(t):
+            return t / jnp.linalg.norm(t, axis=-1, keepdims=True).clip(1e-12)
+
+        q_scale = self.param("q_scale", nn.initializers.ones, (self.dim_head,))
+        k_scale = self.param("k_scale", nn.initializers.ones, (self.dim_head,))
+        q = l2norm(q) * q_scale
+        k = l2norm(k) * k_scale
+        sim = jnp.einsum("bhid,bhjd->bhij", q, k) * self.scale
+        if mask is not None:
+            mask = jnp.pad(mask, ((0, 0), (1, 0)), constant_values=True)
+            sim = jnp.where(mask[:, None, None, :], sim, jnp.finfo(sim.dtype).min)
+        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(sim.dtype)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+        out = nn.Dense(dim, use_bias=False, name="to_out")(out)
+        return ChannelLayerNorm(name="out_norm")(out)

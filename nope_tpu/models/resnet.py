@@ -138,3 +138,15 @@ def resnet50(**kwargs) -> ResNet:
 
 def resnet18(**kwargs) -> ResNet:
     return ResNet(layers=(2, 2, 2, 2), block=BasicBlock, **kwargs)
+
+
+def resnet34(**kwargs) -> ResNet:
+    return ResNet(layers=(3, 4, 6, 3), block=BasicBlock, **kwargs)
+
+
+def resnet101(**kwargs) -> ResNet:
+    return ResNet(layers=(3, 4, 23, 3), block=Bottleneck, **kwargs)
+
+
+def resnet152(**kwargs) -> ResNet:
+    return ResNet(layers=(3, 8, 36, 3), block=Bottleneck, **kwargs)

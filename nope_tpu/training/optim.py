@@ -58,3 +58,11 @@ def make_optimizer(
     if optim_name == "AdamW":
         return optax.adamw(schedule, weight_decay=weight_decay)
     raise ValueError(optim_name)
+
+
+def ema_update(ema_params, new_params, beta: float = 0.995):
+    """Exponential moving average of params (``model_utils.py:175-195``
+    EMA semantics): ema ← beta·ema + (1-beta)·new."""
+    import jax
+
+    return jax.tree.map(lambda e, p: e * beta + p * (1.0 - beta), ema_params, new_params)

@@ -549,3 +549,47 @@ def port_template_encoder(
         "proj1": _conv(sd, "projector.1"),
         "proj2": _conv(sd, "projector.3"),
     }
+
+
+# ---------------------------------------------------------------------------
+# generic shape-filtered partial load (weight.py semantics)
+# ---------------------------------------------------------------------------
+
+
+def partial_load(target: dict, ported: dict) -> tuple[dict, dict]:
+    """Shape-filtered partial parameter update — the generic analogue of
+    the reference's ``load_checkpoint`` surgery (``weight.py:6-37``):
+    leaves present in both trees with matching shapes are taken from
+    ``ported``; everything else keeps the ``target`` value.  Returns
+    (merged_tree, report) where report lists loaded / skipped /
+    missing-in-ported leaf paths.
+    """
+    report = {"loaded": [], "shape_mismatch": [], "not_in_ported": [], "extra": []}
+
+    def walk(t: dict, p: dict, path: str) -> dict:
+        out = {}
+        for k, tv in t.items():
+            kp = f"{path}/{k}" if path else str(k)
+            if k not in p:
+                report["not_in_ported"].append(kp)
+                out[k] = tv
+            elif isinstance(tv, dict):
+                out[k] = walk(tv, p[k], kp)
+            elif tuple(np.shape(p[k])) == tuple(np.shape(tv)):
+                report["loaded"].append(kp)
+                out[k] = p[k]
+            else:
+                report["shape_mismatch"].append(kp)
+                out[k] = tv
+        for k in p:
+            if k not in t:
+                report["extra"].append(f"{path}/{k}" if path else str(k))
+        return out
+
+    merged = walk(target, ported, "")
+    logging.info(
+        "partial_load: %d loaded, %d shape-mismatch, %d not updated, %d extra",
+        len(report["loaded"]), len(report["shape_mismatch"]),
+        len(report["not_in_ported"]), len(report["extra"]),
+    )
+    return merged, report
