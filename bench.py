@@ -45,11 +45,13 @@ def build(tiny: bool):
                       latent_channels=4, groups=4)
         n_templates = 8
         batch = 2
+        baseline_batch = 2
     else:
         img, unet_dim, mults, groups = 256, 192, (1, 2, 4, 8), 8
         vae_kw = dict()  # full SD VAE
         n_templates = 26  # fast-eval grid (idx_upper_level0_in_level2)
-        batch = 4
+        batch = 16  # measured best throughput point on v5e
+        baseline_batch = 2  # baseline is per-image sequential: batch-invariant
 
     unet = PoseUNet(u_net_dim=unet_dim, channels=4, dim_mults=mults,
                     resnet_block_groups=groups)
@@ -69,7 +71,7 @@ def build(tiny: bool):
         jnp.broadcast_to(jnp.asarray(grid[0]), (batch, n_templates, 3, 3)),
     )
     bank_R = rotations.matrix_to_rotation_6d(rel)
-    return task, params, reference, query, bank_R
+    return task, params, reference, query, bank_R, baseline_batch
 
 
 def time_fn(fn, *args, iters=3, warmup=1):
@@ -104,7 +106,7 @@ def main():
     import jax.numpy as jnp
     from nope_tpu.ops.similarity import retrieve
 
-    task, params, reference, query, bank_R = build(args.tiny)
+    task, params, reference, query, bank_R, baseline_batch = build(args.tiny)
     batch, n_templates = bank_R.shape[0], bank_R.shape[1]
 
     # ---- optimized: one jitted program ---------------------------------
@@ -130,8 +132,10 @@ def main():
         return retrieve(q, bank_1, k=5, metric="l2")
 
     def baseline(params, reference, query, bank_R):
+        # per-image sequential (the reference's loop shape): throughput
+        # is batch-invariant, so measure a small batch
         outs = []
-        for b in range(batch):
+        for b in range(baseline_batch):
             preds = [
                 ref_one_template(params, reference[b : b + 1], bank_R[b : b + 1, i])
                 for i in range(n_templates)
@@ -143,7 +147,7 @@ def main():
     t_base = time_fn(baseline, params, reference, query, bank_R, iters=max(1, args.iters // 3))
 
     imgs_per_sec = batch / t_opt
-    base_imgs_per_sec = batch / t_base
+    base_imgs_per_sec = baseline_batch / t_base
     print(
         json.dumps(
             {

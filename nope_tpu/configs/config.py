@@ -104,6 +104,7 @@ class TrainerConfig:
     keep_checkpoints: Optional[int] = None  # None == keep all (save_top_k=-1)
     log_every_n_steps: int = 1
     num_sanity_val_steps: int = 2
+    media_every_n_steps: int = 1000  # reconstruction grids (0 = off)
     seed: int = 2022
 
 

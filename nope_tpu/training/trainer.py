@@ -90,6 +90,37 @@ class Trainer:
             save_interval_steps=cfg.trainer.checkpoint_every_n_steps,
             max_to_keep=cfg.trainer.keep_checkpoints,
         )
+        # reconstruction grids every N steps (model.py:141-166 media
+        # logging analogue); 0 disables
+        self.media_every_n_steps = getattr(cfg.trainer, "media_every_n_steps", 1000)
+
+    def _log_media(self, state: TrainState, batches, step: int) -> None:
+        """Save a reference | query | prediction comparison grid for the
+        first dataset's batch (decode path exists only for VAE encoders)."""
+        try:
+            from nope_tpu.utils.visualization import save_image_grid, unnormalize
+
+            params = {"unet": state.unet_params, "vae": state.vae_params}
+            name, batch = next(iter(batches.items()))
+            _, pred_rgb = self.task.sample(
+                params, batch["reference"][:4], batch["relativeR"][:4], decode_rgb=True
+            )
+            if pred_rgb is None:
+                return
+            path = os.path.join(
+                self.cfg.save_dir, "media", f"reconst_step{step}.png"
+            )
+            save_image_grid(
+                [
+                    unnormalize(np.asarray(batch["reference"][:4])),
+                    unnormalize(np.asarray(batch["query"][:4])),
+                    np.asarray(pred_rgb),
+                ],
+                path,
+            )
+            logging.info("media grid written: %s", path)
+        except Exception as e:  # media logging must never kill training
+            logging.warning("media logging failed: %s", e)
 
     # -- state ------------------------------------------------------------
 
@@ -147,6 +178,12 @@ class Trainer:
 
                 if step % cfg.trainer.checkpoint_every_n_steps == 0:
                     self.ckpt.save(step, jax.device_get(state))
+
+                if (
+                    self.media_every_n_steps
+                    and step % self.media_every_n_steps == 0
+                ):
+                    self._log_media(state, batches, step)
 
                 if self.val_fn is not None and step % cfg.trainer.val_check_interval == 0:
                     scores = self.val_fn(state)
