@@ -46,6 +46,23 @@ class TaskConfig:
     similarity_metric: str = "l2"  # reference-quirk metric (see ops.similarity)
     retrieval_k: int = 5
     using_KL: bool = False
+    # bf16 inference: casts params+activations at the eval boundary for
+    # ~15% more throughput on the MXU at a small embedding-parity cost;
+    # fp32 default preserves reference-checkpoint parity
+    half_precision_eval: bool = False
+
+
+def cast_half(tree):
+    """float32 leaves → bfloat16 (params/inputs for half-precision
+    inference)."""
+    import jax.numpy as _jnp
+
+    return jax.tree.map(
+        lambda x: x.astype(_jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == _jnp.float32
+        else x,
+        tree,
+    )
 
 
 class PoseConditionalTask:
@@ -239,10 +256,17 @@ class PoseConditionalTask:
         loss = self.forward_loss(
             params, batch["query"], batch["reference"], batch["gt_relativeR"]
         )
+        if self.config.half_precision_eval:
+            infer_params = cast_half(params)
+            reference = cast_half(batch["reference"])
+            query = cast_half(batch["query"])
+        else:
+            infer_params, reference, query = params, batch["reference"], batch["query"]
         bank = self.generate_template_bank(
-            params, batch["reference"], batch["all_relativeR"], chunk_size=chunk_size
+            infer_params, reference, batch["all_relativeR"], chunk_size=chunk_size
         )
-        similarity, nearest = self.retrieval(params, batch["query"], bank)
+        similarity, nearest = self.retrieval(infer_params, query, bank)
+        similarity = similarity.astype(jnp.float32)
 
         template_poses = batch["template_poses"][0]  # grid shared across batch
         pred_R = template_poses[nearest]  # (B, k, 3, 3)

@@ -159,3 +159,35 @@ def test_kl_loss_path(rng):
     batch = _batch(rng)
     loss = task.train_loss(params, batch)
     assert np.isfinite(float(loss))
+
+
+def test_half_precision_eval(task_and_params, rng):
+    """bf16 eval path runs and retrieves the same top-1 as f32 on a
+    well-separated bank."""
+    import dataclasses as dc
+
+    task_f32, params = task_and_params
+    task_bf16 = _tiny_task(half_precision_eval=True)
+    task_bf16.unet, task_bf16.vae = task_f32.unet, task_f32.vae
+
+    b, n = 2, 8
+    grid = so3_grid.load_obj_poses(0)[:n, :3, :3].astype(np.float32)
+    gt_idx = np.array([1, 4])
+    batch = {
+        "query": jnp.asarray(rng.uniform(-1, 1, (b, IMG, IMG, 3)).astype(np.float32)),
+        "reference": jnp.asarray(rng.uniform(-1, 1, (b, IMG, IMG, 3)).astype(np.float32)),
+        "gt_relativeR": rotations.matrix_to_rotation_6d(jnp.asarray(grid[gt_idx])),
+        "all_relativeR": rotations.matrix_to_rotation_6d(
+            jnp.broadcast_to(jnp.asarray(grid), (b, n, 3, 3))
+        ),
+        "query_pose": jnp.asarray(grid[gt_idx]),
+        "template_poses": jnp.broadcast_to(jnp.asarray(grid), (b, n, 3, 3)),
+        "symmetry": jnp.zeros(b),
+    }
+    out32 = task_f32.eval_geodesic_step(params, batch)
+    out16 = task_bf16.eval_geodesic_step(params, batch)
+    assert out16["similarity"].dtype == jnp.float32
+    # rankings agree on a random bank (spacing >> bf16 noise)
+    assert np.array_equal(
+        np.asarray(out16["nearest_idx"][:, 0]), np.asarray(out32["nearest_idx"][:, 0])
+    )
