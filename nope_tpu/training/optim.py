@@ -26,15 +26,20 @@ def make_lr_schedule(
     gamma: float = 0.5,
     steps_per_epoch: Optional[int] = None,
 ) -> optax.Schedule:
-    boundaries = {}
-    if steps_per_epoch:
-        boundaries = {
-            int(e * steps_per_epoch): gamma for e in milestones_epochs
+    def _boundaries(offset: int) -> dict:
+        if not steps_per_epoch:
+            return {}
+        # join_schedules passes (step - warm_up_steps) to the decay
+        # schedule, so global-step milestones shift by the offset
+        return {
+            max(int(e * steps_per_epoch) - offset, 1): gamma
+            for e in milestones_epochs
         }
-    decay = optax.piecewise_constant_schedule(base_lr, boundaries)
+
     if warm_up_steps <= 0:
-        return decay
+        return optax.piecewise_constant_schedule(base_lr, _boundaries(0))
     warmup = optax.linear_schedule(0.0, base_lr, warm_up_steps)
+    decay = optax.piecewise_constant_schedule(base_lr, _boundaries(warm_up_steps))
     return optax.join_schedules([warmup, decay], [warm_up_steps])
 
 

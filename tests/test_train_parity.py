@@ -1,0 +1,114 @@
+"""Training-step parity (BASELINE config #5): the symmetrized L1 latent
+loss computed by the Flax task on ported weights must match a full
+torch oracle (U-Net + VAE + reference loss composition) on identical
+batches, and the optax schedule must match the reference recipe."""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from nope_tpu.models.unet import PoseUNet
+from nope_tpu.models.vae import StableDiffusionVAE
+from nope_tpu.tasks.pose_conditional import PoseConditionalTask, TaskConfig
+from nope_tpu.training import port
+from nope_tpu.training.optim import make_lr_schedule
+from tests.oracles.torch_pose_unet import TorchPoseUNet
+from tests.test_vae_parity import TorchTinyVAE, CH, GROUPS, LAT
+
+IMG = 16  # -> 4x4 latents through the 2-block tiny VAE (f4? no: f2 per block -> f4)
+
+
+def _torch_loss(unet, vae, query, reference, rel, rel_inv):
+    """The reference training_step composition (model.py:106-137):
+    encode both images (mode), predict, L1, symmetrized average."""
+
+    def one_direction(q, r, dR):
+        q_lat = vae.encode_mode(q)
+        r_lat = vae.encode_mode(r)
+        pred = unet(r_lat, dR)
+        return torch.nn.functional.l1_loss(pred, q_lat)
+
+    loss = one_direction(query, reference, rel)
+    loss_inv = one_direction(reference, query, rel_inv)
+    return (loss + loss_inv) / 2
+
+
+def test_train_loss_parity(rng):
+    torch.manual_seed(0)
+    t_vae = TorchTinyVAE()
+    t_unet = TorchPoseUNet(u_net_dim=16, channels=LAT, rot_dim=6, dim_mults=(1, 2))
+    with torch.no_grad():
+        for p in list(t_vae.parameters()) + list(t_unet.parameters()):
+            p.normal_(0, 0.05)
+    t_vae.eval(), t_unet.eval()
+
+    flax_vae = StableDiffusionVAE(
+        block_out_channels=CH, layers_per_block=1, latent_channels=LAT, groups=GROUPS
+    )
+    flax_unet = PoseUNet(
+        u_net_dim=16, channels=LAT, rot_representation_dim=6, dim_mults=(1, 2),
+        resnet_block_groups=8,
+    )
+    task = PoseConditionalTask(flax_unet, flax_vae, TaskConfig(loss_type="l1"))
+    params = {
+        "unet": jax.tree.map(
+            jnp.asarray,
+            port.port_pose_unet(
+                {k: v.numpy() for k, v in t_unet.state_dict().items()},
+                dim_mults=(1, 2),
+            ),
+        ),
+        "vae": jax.tree.map(
+            jnp.asarray,
+            port.port_sd_vae(
+                {k: v.numpy() for k, v in t_vae.state_dict().items()},
+                num_blocks=len(CH), layers_per_block=1,
+            ),
+        ),
+    }
+
+    query = rng.uniform(-1, 1, (2, 3, IMG, IMG)).astype(np.float32)
+    reference = rng.uniform(-1, 1, (2, 3, IMG, IMG)).astype(np.float32)
+    rel = rng.normal(size=(2, 6)).astype(np.float32)
+    rel_inv = rng.normal(size=(2, 6)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_loss = float(
+            _torch_loss(
+                t_unet, t_vae,
+                torch.from_numpy(query), torch.from_numpy(reference),
+                torch.from_numpy(rel), torch.from_numpy(rel_inv),
+            )
+        )
+
+    batch = {
+        "query": jnp.asarray(np.transpose(query, (0, 2, 3, 1))),
+        "reference": jnp.asarray(np.transpose(reference, (0, 2, 3, 1))),
+        "relativeR": jnp.asarray(rel),
+        "relativeR_inv": jnp.asarray(rel_inv),
+    }
+    with jax.default_matmul_precision("highest"):
+        ours = float(task.train_loss(params, batch))
+
+    np.testing.assert_allclose(ours, ref_loss, rtol=1e-4)
+
+
+def test_lr_schedule_matches_reference_recipe():
+    """Linear warmup to 5e-5 over 500 steps, then x0.5 at epochs
+    [10, 30, 50, 100] (model.py:70-94)."""
+    steps_per_epoch = 100
+    sched = make_lr_schedule(
+        base_lr=5e-5, warm_up_steps=500,
+        milestones_epochs=(10, 30, 50, 100), gamma=0.5,
+        steps_per_epoch=steps_per_epoch,
+    )
+    np.testing.assert_allclose(float(sched(0)), 0.0)
+    np.testing.assert_allclose(float(sched(250)), 2.5e-5, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(500)), 5e-5, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(999)), 5e-5, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(10 * steps_per_epoch)), 2.5e-5, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(30 * steps_per_epoch)), 1.25e-5, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(50 * steps_per_epoch)), 6.25e-6, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(100 * steps_per_epoch)), 3.125e-6, rtol=1e-5)
