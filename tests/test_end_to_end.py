@@ -144,3 +144,40 @@ def test_test_shapenet_cli(tiny_cfg, mini_root, capsys):
     assert "top1, accuracy_15" in bottle and "top5, median" in bottle
     assert bottle["num_images"] == 2.0
     assert np.isfinite(bottle["loss"])
+
+
+def test_overfit_single_batch(tiny_cfg, rng):
+    """Learning sanity: 30 steps on one repeated batch must cut the loss
+    substantially (catches broken gradients / optimizer / schedule)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nope_tpu.geometry import rotations
+    from nope_tpu.models.factory import build_task
+    from nope_tpu.training.optim import make_optimizer
+    from nope_tpu.training.train_state import create_train_state, make_train_step
+
+    task = build_task(tiny_cfg.model)
+    tx = make_optimizer(base_lr=3e-3, warm_up_steps=5)
+    state = create_train_state(task, tx, jax.random.key(0), image_size=32)
+    step_fn = make_train_step(task, tx)
+
+    mats = rotations.random_rotations(jax.random.key(1), 2)
+    batch = {
+        "ds": {
+            "query": jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)),
+            "reference": jnp.asarray(
+                rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+            ),
+            "relativeR": rotations.matrix_to_rotation_6d(mats),
+            "relativeR_inv": rotations.matrix_to_rotation_6d(
+                jnp.swapaxes(mats, -1, -2)
+            ),
+        }
+    }
+    losses = []
+    for _ in range(30):
+        state, metrics = step_fn(state, batch)
+        losses.append(float(metrics["loss/train_avg"]))
+    assert losses[-1] < 0.6 * losses[0], (losses[0], losses[-1])
+    assert np.isfinite(losses).all()
