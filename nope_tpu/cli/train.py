@@ -51,17 +51,19 @@ def _maybe_warm_start(task, params, cfg):
     if cfg.use_pretrained and enc_path and cfg.model.encoder.kind == "vae":
         from nope_tpu.training import port
 
-        if os.path.isdir(enc_path):
+        # a diffusers VAE directory (the reference's documented layout)
+        # contains diffusion_pytorch_model.bin; anything else that is a
+        # directory is treated as an orbax checkpoint
+        diffusers_bin = os.path.join(enc_path, "diffusion_pytorch_model.bin")
+        if os.path.isfile(enc_path) or os.path.isfile(diffusers_bin):
+            sd = port.load_torch_state_dict(
+                diffusers_bin if os.path.isfile(diffusers_bin) else enc_path
+            )
+            params["vae"] = jax.tree.map(np.asarray, port.port_sd_vae(sd))
+        else:
             from nope_tpu.training.checkpoint import restore_params
 
             params["vae"] = restore_params(enc_path, params["vae"])
-        else:
-            sd = port.load_torch_state_dict(
-                os.path.join(enc_path, "diffusion_pytorch_model.bin")
-                if os.path.isdir(enc_path)
-                else enc_path
-            )
-            params["vae"] = port.port_sd_vae(sd)
         logging.info("loaded frozen encoder from %s", enc_path)
     return params
 

@@ -129,6 +129,7 @@ class DatasetConfig:
     rot_representation: str = "rotation6d"
     pose_distribution: str = "upper"
     fast_evaluation: bool = True
+    load_gt_templates: bool = False  # template images for visualization only
     # BOP extras
     template_dir: Optional[str] = None
     obj_ids: Optional[str] = None

@@ -238,6 +238,7 @@ class BOPDataset(BaseBOP):
             return item
 
         # test extras for the VSD evaluator (fixes reference drift #5)
+        gt_relativeR = item.pop("relativeR")
         all_rel = np.stack(
             [
                 convert_rotation(
@@ -250,7 +251,7 @@ class BOPDataset(BaseBOP):
         ).astype(np.float32)
         return {
             **item,
-            "gt_relativeR": item.pop("relativeR"),
+            "gt_relativeR": gt_relativeR,
             "all_relativeR": all_rel,
             "query_pose": q_wo_inp[:3, :3].astype(np.float32),
             "query_translation": np.asarray(query_pose[:3, 3], np.float32),

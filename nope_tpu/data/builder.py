@@ -21,6 +21,7 @@ def build_dataset(cfg: DatasetConfig):
             rot_representation=cfg.rot_representation,
             fast_evaluation=cfg.fast_evaluation,
             img_size=cfg.img_size,
+            load_gt_templates=cfg.load_gt_templates,
         )
     if cfg.name == "objaverse":
         from nope_tpu.data.objaverse import ObjaverseDataset

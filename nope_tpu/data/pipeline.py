@@ -73,6 +73,21 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def offer(item) -> bool:
+            """Bounded put that can't deadlock when the consumer
+            abandons the iterator: poll the stop event while blocked."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            try:  # consumer gone; best effort, never block
+                out_q.put_nowait(item)
+            except queue.Full:
+                pass
+            return False
+
         def producer():
             try:
                 from concurrent.futures import ThreadPoolExecutor
@@ -82,11 +97,12 @@ class DataLoader:
                         if stop.is_set():
                             return
                         items = list(pool.map(self.dataset.__getitem__, batch_idx))
-                        out_q.put(collate(items))
+                        if not offer(collate(items)):
+                            return
             except Exception as e:  # surface worker errors to the consumer
-                out_q.put(e)
+                offer(e)
             finally:
-                out_q.put(None)
+                offer(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

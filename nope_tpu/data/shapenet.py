@@ -99,6 +99,7 @@ class ShapeNetDataset:
         img_size: int = 256,
         level: int = 2,
         seed: int = _SPLIT_SEED,
+        load_gt_templates: bool = False,
     ):
         self.root_dir = root_dir
         self.split = split
@@ -107,6 +108,10 @@ class ShapeNetDataset:
         self.fast_evaluation = fast_evaluation
         self.img_size = img_size
         self.level = level
+        # the reference loads+crops every template IMAGE per test item
+        # (shapeNet.py:287-300) purely for W&B visualization; that's ~26
+        # full PNG decodes+warps per item, so it's opt-in here
+        self.load_gt_templates = load_gt_templates
         self.is_testing_split = split != "training"
         self._rng = random.Random(seed)
         self._item_rng = random.Random(seed + 1)
@@ -300,12 +305,16 @@ class ShapeNetDataset:
             }
 
         obj_path = osp.dirname(query_path)
-        templates = []
-        for idx in self.testing_indexes:
-            tpath = osp.join(obj_path, f"templates_{idx:06d}.png")
-            templates.append(
-                self._transform(self._crop(self.open_image(tpath), self.get_pose(tpath)))
-            )
+        templates = None
+        if self.load_gt_templates:
+            templates = []
+            for idx in self.testing_indexes:
+                tpath = osp.join(obj_path, f"templates_{idx:06d}.png")
+                templates.append(
+                    self._transform(
+                        self._crop(self.open_image(tpath), self.get_pose(tpath))
+                    )
+                )
         all_rel = np.stack(
             [
                 convert_rotation(
@@ -317,13 +326,15 @@ class ShapeNetDataset:
             ]
         )
         obj_name = osp.basename(obj_path)
-        return {
+        item = {
             "query": query,
             "reference": reference,
             "gt_relativeR": rel,
             "all_relativeR": all_rel.astype(np.float32),
-            "gt_templates": np.stack(templates),
             "symmetry": np.asarray(self.obj_name2symmetry[obj_name], np.float32),
             "query_pose": query_pose[:3, :3].astype(np.float32),
             "template_poses": self.testing_templates_poses[:, :3, :3].astype(np.float32),
         }
+        if templates is not None:
+            item["gt_templates"] = np.stack(templates)
+        return item

@@ -299,9 +299,10 @@ def so3_rotation_angle(
 ) -> jax.Array:
     """Angle of a batch of rotation matrices.
 
-    ``eps`` is accepted for API parity with pytorch3d (where it gates a
-    trace-validity assert); ``cos_bound`` controls the arccos
-    extrapolation bounds as in pytorch3d.
+    ``eps`` is accepted for API parity with pytorch3d, where it only
+    gates a trace-validity assert; ``cos_bound`` controls the arccos
+    extrapolation bounds (pytorch3d default 1e-4, giving a ~0.405 deg
+    floor for exactly-matching rotations).
     """
     del eps
     rot_trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
@@ -314,13 +315,19 @@ def so3_rotation_angle(
 
 
 def so3_relative_angle(
-    R1: jax.Array, R2: jax.Array, eps: float = 1e-4, cos_angle: bool = False
+    R1: jax.Array, R2: jax.Array, eps: float = 1e-4, cos_angle: bool = False,
+    cos_bound: float = 1e-4,
 ) -> jax.Array:
-    """Geodesic angle between two batches of rotations, matching the
-    reference call sites ``so3_relative_angle(pred, gt, eps=1e-2)``
-    (``/root/reference/src/model/loss.py:20-48``)."""
+    """Geodesic angle between two batches of rotations.
+
+    Matches pytorch3d (>=0.4, the versions compatible with the
+    reference's torch 1.13 env): the reference's ``eps=1e-2`` argument
+    (``/root/reference/src/model/loss.py:20-48``) only relaxes a
+    validity assert there — the arccos extrapolation bound stays at the
+    1e-4 default, NOT eps.
+    """
     R12 = _matmul(R1, jnp.swapaxes(R2, -1, -2))
-    return so3_rotation_angle(R12, eps=eps, cos_angle=cos_angle, cos_bound=eps)
+    return so3_rotation_angle(R12, eps=eps, cos_angle=cos_angle, cos_bound=cos_bound)
 
 
 def geodesic_distance(R1: jax.Array, R2: jax.Array) -> jax.Array:

@@ -263,10 +263,17 @@ class SinusoidalPosEmb(nn.Module):
 class PoseMLP(nn.Module):
     """Pose → conditioning embedding
     (``denoising_diffusion_pytorch/u_net.py:63-76``): ``single_layer``
-    (default), ``two_layers`` (+GELU) or ``posEncoding``."""
+    (default), ``two_layers`` (+GELU) or ``posEncoding``.
+
+    ``posenc_trim`` selects the LDM adapter's sinusoidal variant
+    (``adapt_openaimodel.py:114-118``): per-component dim // 6 + 1,
+    trimmed to ``out_dim`` — supporting out_dim not divisible by 6
+    (e.g. context_dim 512).  The default-U-Net variant requires
+    divisibility, like the reference's assert (``u_net.py:75``)."""
 
     out_dim: int
     kind: str = "single_layer"
+    posenc_trim: bool = False
 
     @nn.compact
     def __call__(self, pose: jax.Array) -> jax.Array:
@@ -276,6 +283,10 @@ class PoseMLP(nn.Module):
             h = nn.Dense(self.out_dim, name="fc0")(pose)
             return nn.Dense(self.out_dim, name="fc1")(nn.gelu(h, approximate=False))
         if self.kind == "posEncoding":
+            if self.posenc_trim:
+                return SinusoidalPosEmb(
+                    dim=self.out_dim // 6 + 1, max_dim=self.out_dim
+                )(pose)
             if self.out_dim % 6 != 0:
                 raise ValueError("out_dim must be divisible by 6 for posEncoding")
             return SinusoidalPosEmb(dim=self.out_dim // 6)(pose)

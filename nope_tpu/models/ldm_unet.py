@@ -188,11 +188,11 @@ class LDMPoseUNet(nn.Module):
         time_embed_dim = self.model_channels * 4
         if self.injecting_condition_twice:
             emb = PoseMLP(time_embed_dim, kind=self.pose_mlp_name,
-                          name="pose_mlp_timesteps")(pose)
+                          posenc_trim=True, name="pose_mlp_timesteps")(pose)
         else:
             emb = jnp.zeros((x.shape[0], time_embed_dim), x.dtype)
         context = PoseMLP(self.context_dim, kind=self.pose_mlp_name,
-                          name="pose_mlp")(pose)[:, None, :]
+                          posenc_trim=True, name="pose_mlp")(pose)[:, None, :]
 
         def attn(h, ch, name):
             heads = ch // self.num_head_channels

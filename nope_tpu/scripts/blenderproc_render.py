@@ -45,8 +45,6 @@ def render_poses(obj, poses: np.ndarray, out_dir: str, prefix: str) -> None:
 
         Image.fromarray(rgba.astype(np.uint8)).save(
             osp.join(out_dir, f"{prefix}_{idx:06d}.png")
-            if prefix != "templates"
-            else osp.join(out_dir, f"templates_{idx:06d}.png")
         )
 
 

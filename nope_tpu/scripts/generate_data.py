@@ -62,10 +62,10 @@ def select_cad_with_texture(cad_dir: str) -> Optional[Tuple[str, float]]:
     if not has_texture:
         return None
     try:
-        from nope_tpu.utils.mesh import load_mesh
+        from nope_tpu.utils.mesh import get_obj_diameter
 
-        mesh = load_mesh(model_path)
-        diameter = float(np.linalg.norm(mesh.extents))
+        # reference semantics: norm(extents * 2) (trimesh_utils.py:74)
+        diameter = float(get_obj_diameter(model_path))
     except Exception:
         return None
     return model_path, diameter

@@ -26,21 +26,31 @@ def make_lr_schedule(
     gamma: float = 0.5,
     steps_per_epoch: Optional[int] = None,
 ) -> optax.Schedule:
-    def _boundaries(offset: int) -> dict:
-        if not steps_per_epoch:
-            return {}
-        # join_schedules passes (step - warm_up_steps) to the decay
-        # schedule, so global-step milestones shift by the offset
-        return {
-            max(int(e * steps_per_epoch) - offset, 1): gamma
-            for e in milestones_epochs
-        }
+    import jax.numpy as jnp
 
-    if warm_up_steps <= 0:
-        return optax.piecewise_constant_schedule(base_lr, _boundaries(0))
-    warmup = optax.linear_schedule(0.0, base_lr, warm_up_steps)
-    decay = optax.piecewise_constant_schedule(base_lr, _boundaries(warm_up_steps))
-    return optax.join_schedules([warmup, decay], [warm_up_steps])
+    milestone_steps = (
+        jnp.asarray(sorted(int(e * steps_per_epoch) for e in milestones_epochs))
+        if steps_per_epoch
+        else None
+    )
+
+    def schedule(step):
+        step = jnp.asarray(step)
+        # MultiStepLR: gamma^(milestone epochs crossed) — exact even when
+        # milestones fall inside the warmup window
+        if milestone_steps is not None:
+            factor = gamma ** jnp.sum(step >= milestone_steps)
+        else:
+            factor = 1.0
+        decayed = base_lr * factor
+        if warm_up_steps <= 0:
+            return decayed
+        # reference warmup overrides the scheduler LR outright while
+        # global_step < warm_up_steps (model.py:70-75, 173-176)
+        warm = step.astype(jnp.float32) / warm_up_steps * base_lr
+        return jnp.where(step < warm_up_steps, warm, decayed)
+
+    return schedule
 
 
 def make_optimizer(

@@ -65,7 +65,8 @@ def mini_shapenet(tmp_path_factory):
 
 def test_test_split_item_schema(mini_shapenet):
     ds = ShapeNetDataset(
-        mini_shapenet, split="bottle", img_size=IMG, fast_evaluation=True
+        mini_shapenet, split="bottle", img_size=IMG, fast_evaluation=True,
+        load_gt_templates=True,
     )
     assert len(ds) == 2 * N_QUERY  # queries of the 2 bottle objects
     item = ds[0]
@@ -79,6 +80,12 @@ def test_test_split_item_schema(mini_shapenet):
     assert item["template_poses"].shape == (n, 3, 3)
     assert float(item["symmetry"]) == 2.0  # bottles are circular-symmetric
     assert item["query"].min() >= -1.0 and item["query"].max() <= 1.0
+
+    # default: the visualization-only template images are skipped
+    ds_lean = ShapeNetDataset(
+        mini_shapenet, split="bottle", img_size=IMG, fast_evaluation=True
+    )
+    assert "gt_templates" not in ds_lean[0]
 
 
 def test_unseen_training_split(mini_shapenet):

@@ -70,3 +70,18 @@ def test_template_encoder_task(rng):
     assert feat.shape == (1, 4, 4, 8)
     loss = task.forward_loss(params, q, q, jnp.zeros((1, 6)))
     assert np.isfinite(float(loss))
+
+
+def test_ldm_posencoding_with_indivisible_context_dim(rng):
+    """The LDM variant supports posEncoding with context_dim not
+    divisible by 6 (adapt_openaimodel.py:114-118 trims)."""
+    from nope_tpu.models.ldm_unet import LDMPoseUNet
+
+    m = LDMPoseUNet(
+        in_channels=4, out_channels=4, model_channels=32, num_res_blocks=1,
+        attention_resolutions=(1,), channel_mult=(1, 2), num_head_channels=16,
+        context_dim=20, pose_mlp_name="posEncoding",
+    )
+    v = m.init(jax.random.key(0), jnp.zeros((1, 8, 8, 4)), jnp.zeros((1, 6)))
+    out = m.apply(v, jnp.zeros((1, 8, 8, 4)), jnp.ones((1, 6)))
+    assert out.shape == (1, 8, 8, 4)

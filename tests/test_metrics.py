@@ -29,9 +29,9 @@ def test_no_symmetry_matches_plain_geodesic(rng):
             for p, g in zip(pred, gt)
         ]
     )
-    # 1e-2 arccos extrapolation bound -> small differences near 0/pi only
-    np.testing.assert_allclose(err, expected, atol=0.2)
-    mid = (expected > 0.3) & (expected < np.pi - 0.3)
+    # 1e-4 arccos extrapolation bound -> tiny differences near 0/pi only
+    np.testing.assert_allclose(err, expected, atol=0.02)
+    mid = (expected > 0.05) & (expected < np.pi - 0.05)
     np.testing.assert_allclose(err[mid], expected[mid], atol=1e-3)
 
 
@@ -49,9 +49,10 @@ def test_two_fold_symmetry_forgives_y180(rng):
             jnp.asarray(pred), jnp.asarray(gt), jnp.zeros(8)
         )
     )
-    # exact match floors at ~4.05 deg: pytorch3d's eps=1e-2 arccos
-    # extrapolation (reference semantics, loss.py:20-48)
-    assert np.all(np.degrees(err_sym) < 4.2)
+    # exact match floors at ~0.405 deg: pytorch3d's 1e-4 arccos
+    # extrapolation bound (reference loss.py:20-48 passes eps=1e-2 but
+    # that only gates a validity assert in pytorch3d >= 0.4)
+    assert np.all(np.degrees(err_sym) < 0.5)
     assert np.all(np.degrees(err_nosym) > 170.0)
 
 
@@ -84,8 +85,8 @@ def test_mixed_symmetry_batch(rng):
     err = np.asarray(
         so3_relative_angle_with_symmetry(jnp.asarray(gt), jnp.asarray(gt), sym)
     )
-    # <= ~4.05 deg extrapolation floor for the acos-based classes
-    assert np.all(np.degrees(err) < 4.2)
+    # <= ~0.41 deg extrapolation floor for the acos-based classes
+    assert np.all(np.degrees(err) < 0.5)
 
 
 def test_median_lower_matches_torch():

@@ -123,3 +123,19 @@ def test_vsd_scores_aggregation():
     assert scores["top 3, vsd_scores 0.3"] == pytest.approx(200 / 3)
     assert scores["top 5, vsd_scores 0.3"] == pytest.approx(100.0)
     assert scores["top 1, vsd_median"] == pytest.approx(0.9)
+
+
+def test_dataloader_early_abandonment_no_deadlock():
+    """Abandoning the iterator mid-epoch (evaluate_geodesic max_batches)
+    must not leave producer threads blocked on the bounded queue."""
+    import threading
+    import time
+
+    loader = DataLoader(ToyDataset(64), batch_size=2, num_workers=2, prefetch=2)
+    before = threading.active_count()
+    for _ in range(3):
+        it = iter(loader)
+        next(it)
+        del it  # abandon with the queue full
+    time.sleep(1.0)  # generous drain window
+    assert threading.active_count() <= before + 1

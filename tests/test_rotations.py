@@ -94,7 +94,7 @@ def test_so3_relative_angle_identity(rng):
 
 
 def test_so3_relative_angle_known_rotation(rng):
-    # angles near 0/180 hit the eps=1e-2 arccos extrapolation (reference
+    # angles within ~0.8 deg of 0/180 hit the 1e-4 arccos extrapolation (
     # semantics); mid-range angles are exact
     base = _random_matrices(rng, 16)
     for deg in (10.0, 90.0, 150.0):

@@ -112,3 +112,18 @@ def test_lr_schedule_matches_reference_recipe():
     np.testing.assert_allclose(float(sched(30 * steps_per_epoch)), 1.25e-5, rtol=1e-5)
     np.testing.assert_allclose(float(sched(50 * steps_per_epoch)), 6.25e-6, rtol=1e-5)
     np.testing.assert_allclose(float(sched(100 * steps_per_epoch)), 3.125e-6, rtol=1e-5)
+
+
+def test_lr_schedule_milestones_inside_warmup():
+    """Milestones crossed during warmup must still compound: with
+    steps_per_epoch=10 and warmup=500, epochs 10/30/50 have all fired by
+    step 500, so the post-warmup LR is base * 0.5^3 (and *0.5^4 after
+    epoch 100)."""
+    sched = make_lr_schedule(
+        base_lr=1e-3, warm_up_steps=500,
+        milestones_epochs=(10, 30, 50, 100), gamma=0.5, steps_per_epoch=10,
+    )
+    np.testing.assert_allclose(float(sched(250)), 5e-4, rtol=1e-6)  # warmup wins
+    np.testing.assert_allclose(float(sched(500)), 1e-3 * 0.125, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(999)), 1e-3 * 0.125, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(1000)), 1e-3 * 0.0625, rtol=1e-6)
