@@ -1,0 +1,131 @@
+"""Production serving engine.
+
+The reference's eval loop rebuilds the template bank for every batch
+(``model.py:268-323``) because queries and references are paired per
+item.  In deployment the natural pattern is object-centric: one
+reference image registers an object (N U-Net forwards, once), the bank
+stays HBM-resident, and each subsequent query costs one VAE encode + a
+fused similarity sweep — the cheap path the BASELINE north star prices.
+
+API::
+
+    est = PoseEstimator(task, params, level=2, pose_distribution="upper")
+    est.register_object("mug0", reference_image)        # once per object
+    result = est.estimate("mug0", query_images)          # many times
+    result.rotations      # (B, k, 3, 3) retrieved template rotations
+    result.similarity     # (B, N) viewpoint-bin pose distribution
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nope_tpu.geometry import so3_grid
+from nope_tpu.geometry.rotations import matrix_to_rotation_6d
+from nope_tpu.geometry.transforms import relative_rotation_jax
+
+
+@dataclasses.dataclass
+class PoseEstimate:
+    nearest_idx: np.ndarray  # (B, k) indices into the template grid
+    rotations: np.ndarray  # (B, k, 3, 3) retrieved absolute rotations
+    similarity: np.ndarray  # (B, N) pose distribution over viewpoint bins
+    template_poses: np.ndarray  # (N, 3, 3) the grid (shared)
+
+
+class PoseEstimator:
+    """Object-centric pose estimation service around a
+    :class:`PoseConditionalTask`.
+
+    ``reference_pose`` at registration defaults to the canonical grid
+    pose 0 — i.e. the reference image is treated as the canonical view
+    and retrieved rotations are relative to it, matching the
+    "one reference image, no CAD" NOPE setting.
+    """
+
+    def __init__(
+        self,
+        task,
+        params,
+        level: int = 2,
+        pose_distribution: str = "upper",
+        fast_evaluation: bool = False,
+        chunk_size: Optional[int] = None,
+    ):
+        self.task = task
+        self.params = params
+        self.chunk_size = chunk_size
+
+        if fast_evaluation:
+            indexes = so3_grid.load_index_level0_in_level2(pose_distribution)
+            grid = so3_grid.get_obj_poses_from_template_level(2, "all")[indexes]
+        else:
+            grid = so3_grid.get_obj_poses_from_template_level(level, pose_distribution)
+        self.template_poses = grid[:, :3, :3].astype(np.float32)
+        self._banks: Dict[str, jax.Array] = {}
+
+        # jitted programs (compiled once per shape)
+        self._register_fn = jax.jit(
+            lambda p, ref, bank_R: task.generate_template_bank(
+                p, ref, bank_R, chunk_size=chunk_size
+            ),
+            static_argnames=(),
+        )
+        self._score_fn = jax.jit(
+            lambda p, q, bank: task.retrieval(p, q, bank)
+        )
+
+    @property
+    def num_templates(self) -> int:
+        return len(self.template_poses)
+
+    def _bank_relative_rotations(self, reference_pose: np.ndarray) -> jax.Array:
+        rel = relative_rotation_jax(
+            jnp.asarray(self.template_poses),
+            jnp.broadcast_to(
+                jnp.asarray(reference_pose, jnp.float32),
+                (self.num_templates, 3, 3),
+            ),
+        )
+        return matrix_to_rotation_6d(rel)[None]  # (1, N, 6)
+
+    def register_object(
+        self,
+        object_id: str,
+        reference_image: np.ndarray,
+        reference_pose: Optional[np.ndarray] = None,
+    ) -> None:
+        """Precompute and cache the HBM-resident template bank for one
+        object from a single (H, W, 3) [-1, 1] reference image."""
+        if reference_pose is None:
+            reference_pose = self.template_poses[0]
+        bank_R = self._bank_relative_rotations(reference_pose)
+        ref = jnp.asarray(reference_image, jnp.float32)[None]
+        self._banks[object_id] = self._register_fn(self.params, ref, bank_R)
+
+    def deregister_object(self, object_id: str) -> None:
+        self._banks.pop(object_id, None)
+
+    def estimate(self, object_id: str, query_images: np.ndarray) -> PoseEstimate:
+        """Score (B, H, W, 3) query images against the object's bank."""
+        if object_id not in self._banks:
+            raise KeyError(f"object {object_id!r} is not registered")
+        bank = self._banks[object_id]
+        queries = jnp.asarray(query_images, jnp.float32)
+        if queries.ndim == 3:
+            queries = queries[None]
+        b = queries.shape[0]
+        bank_b = jnp.broadcast_to(bank, (b,) + bank.shape[1:])
+        sim, idx = self._score_fn(self.params, queries, bank_b)
+        idx_np = np.asarray(idx)
+        return PoseEstimate(
+            nearest_idx=idx_np,
+            rotations=self.template_poses[idx_np],
+            similarity=np.asarray(sim),
+            template_poses=self.template_poses,
+        )
