@@ -59,6 +59,29 @@ def evaluate_geodesic(
                 error_deg=np.asarray(out["error_deg"]),
                 query_pose=np.asarray(batch["query_pose"]),
             )
+            # retrieval panel (reference model.py:325-351) for the first
+            # batch, when the dataset was built with load_gt_templates
+            if i == 0 and "gt_templates" in batch:
+                try:
+                    from nope_tpu.utils.visualization import (
+                        save_image_grid,
+                        unnormalize,
+                    )
+
+                    top1 = np.asarray(out["nearest_idx"])[:, 0]
+                    retrieved = batch["gt_templates"][
+                        np.arange(len(top1)), top1
+                    ]
+                    save_image_grid(
+                        [
+                            unnormalize(batch["reference"][:8]),
+                            unnormalize(batch["query"][:8]),
+                            unnormalize(retrieved[:8]),
+                        ],
+                        os.path.join(save_dir, f"retrieved_{tag}.png"),
+                    )
+                except Exception as e:
+                    logging.warning("retrieval panel failed: %s", e)
         # symmetry-aware top-k accuracies are recomputed globally below;
         # keep per-batch logging light
         if i % 10 == 0:

@@ -108,10 +108,15 @@ def _split_heads(t: jax.Array, heads: int) -> jax.Array:
 class LinearAttention(nn.Module):
     """Efficient linear attention (``model_utils.py:393-418``):
     softmax(q over channels) · scale, softmax(k over tokens),
-    context = k·vᵀ, out = contextᵀ·q, then 1x1 conv + GroupNorm(1)."""
+    context = k·vᵀ, out = contextᵀ·q, then 1x1 conv + GroupNorm(1).
+
+    ``fused=True`` routes the inner chain through the Pallas kernel
+    (:mod:`nope_tpu.ops.linear_attention`) — one VMEM-resident pass
+    instead of XLA's multiple HBM round-trips."""
 
     heads: int = 4
     dim_head: int = 32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -120,16 +125,23 @@ class LinearAttention(nn.Module):
         hidden = self.heads * self.dim_head
         qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, name="to_qkv")(x)
         qkv = qkv.reshape(b, n, hidden * 3)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q, k, v = (_split_heads(t, self.heads) for t in (q, k, v))  # (b, h, d, n)
 
-        q = jax.nn.softmax(q, axis=-2)
-        k = jax.nn.softmax(k, axis=-1)
-        q = q * (self.dim_head**-0.5)
+        if self.fused:
+            from nope_tpu.ops.linear_attention import linear_attention_inner
 
-        context = jnp.einsum("bhdn,bhen->bhde", k, v)
-        out = jnp.einsum("bhde,bhdn->bhen", context, q)  # (b, h, e, n)
-        out = jnp.transpose(out, (0, 3, 1, 2)).reshape(b, hh, ww, hidden)
+            out = linear_attention_inner(qkv, self.heads, self.dim_head)
+            out = out.reshape(b, hh, ww, hidden)
+        else:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q, k, v = (_split_heads(t, self.heads) for t in (q, k, v))  # (b, h, d, n)
+
+            q = jax.nn.softmax(q, axis=-2)
+            k = jax.nn.softmax(k, axis=-1)
+            q = q * (self.dim_head**-0.5)
+
+            context = jnp.einsum("bhdn,bhen->bhde", k, v)
+            out = jnp.einsum("bhde,bhdn->bhen", context, q)  # (b, h, e, n)
+            out = jnp.transpose(out, (0, 3, 1, 2)).reshape(b, hh, ww, hidden)
         out = nn.Conv(x.shape[-1], (1, 1), name="to_out_conv")(out)
         return nn.GroupNorm(num_groups=1, epsilon=1e-5, name="to_out_norm")(out)
 
@@ -169,12 +181,16 @@ class ResidualPreNormAttention(nn.Module):
     linear: bool = True
     heads: int = 4
     dim_head: int = 32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         h = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="norm")(x)
         if self.linear:
-            h = LinearAttention(heads=self.heads, dim_head=self.dim_head, name="attn")(h)
+            h = LinearAttention(
+                heads=self.heads, dim_head=self.dim_head, fused=self.fused,
+                name="attn",
+            )(h)
         else:
             h = Attention(heads=self.heads, dim_head=self.dim_head, name="attn")(h)
         return h + x

@@ -53,6 +53,7 @@ class PoseUNet(nn.Module):
     resnet_block_groups: int = 8
     use_hard_up_down: bool = True
     double_bottleneck: bool = True
+    fused_attention: bool = False  # Pallas linear-attention inner (TPU)
     out_dim: int | None = None
 
     @nn.compact
@@ -79,7 +80,9 @@ class PoseUNet(nn.Module):
             x = ResnetBlock(dim_in, groups=groups, name=f"downs_{ind}_block1")(x, c)
             hs.append(x)
             x = ResnetBlock(dim_in, groups=groups, name=f"downs_{ind}_block2")(x, c)
-            x = ResidualPreNormAttention(linear=True, name=f"downs_{ind}_attn")(x)
+            x = ResidualPreNormAttention(
+                linear=True, fused=self.fused_attention, name=f"downs_{ind}_attn"
+            )(x)
             hs.append(x)
             if is_last:
                 x = nn.Conv(dim_out, (3, 3), padding=1, name=f"downs_{ind}_down")(x)
@@ -103,7 +106,9 @@ class PoseUNet(nn.Module):
             x = ResnetBlock(dim_out, groups=groups, name=f"ups_{ind}_block1")(x, c)
             x = jnp.concatenate((x, hs.pop()), axis=-1)
             x = ResnetBlock(dim_out, groups=groups, name=f"ups_{ind}_block2")(x, c)
-            x = ResidualPreNormAttention(linear=True, name=f"ups_{ind}_attn")(x)
+            x = ResidualPreNormAttention(
+                linear=True, fused=self.fused_attention, name=f"ups_{ind}_attn"
+            )(x)
             if is_last:
                 x = nn.Conv(dim_in, (3, 3), padding=1, name=f"ups_{ind}_up")(x)
             else:

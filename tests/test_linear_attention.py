@@ -1,0 +1,57 @@
+"""Fused linear-attention kernel tests (interpret mode on CPU) and
+fused-vs-unfused U-Net equivalence."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nope_tpu.ops.linear_attention import (
+    linear_attention_inner,
+    linear_attention_inner_xla,
+)
+
+
+def test_kernel_matches_xla_composition(rng):
+    b, n, heads, dh = 4, 64, 4, 32
+    qkv = jnp.asarray(rng.normal(size=(b, n, 3 * heads * dh)).astype(np.float32))
+    fused = np.asarray(
+        linear_attention_inner(qkv, heads, dh, block_b=2, interpret=True)
+    )
+    ref = np.asarray(linear_attention_inner_xla(qkv, heads, dh))
+    np.testing.assert_allclose(fused, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_kernel_odd_batch(rng):
+    b, n, heads, dh = 3, 16, 4, 32
+    qkv = jnp.asarray(rng.normal(size=(b, n, 3 * heads * dh)).astype(np.float32))
+    fused = np.asarray(
+        linear_attention_inner(qkv, heads, dh, block_b=4, interpret=True)
+    )
+    ref = np.asarray(linear_attention_inner_xla(qkv, heads, dh))
+    np.testing.assert_allclose(fused, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_xla_composition_matches_module(rng):
+    """The standalone XLA composition must equal the LinearAttention
+    module's inner math (guards the kernel's contract)."""
+    import flax.linen as nn
+
+    from nope_tpu.models.blocks import LinearAttention
+
+    b, hh, ww, c = 2, 8, 8, 16
+    x = jnp.asarray(rng.normal(size=(b, hh, ww, c)).astype(np.float32))
+    module = LinearAttention(heads=4, dim_head=32)
+    v = module.init(jax.random.key(0), x)
+    full = module.apply(v, x)
+
+    # recompute via the standalone composition with the same conv params
+    qkv_kernel = v["params"]["to_qkv"]["kernel"]
+    qkv = jnp.einsum("bhwc,xyco->bhwo", x, qkv_kernel).reshape(b, hh * ww, -1)
+    inner = linear_attention_inner_xla(qkv, 4, 32).reshape(b, hh, ww, -1)
+    out_conv = v["params"]["to_out_conv"]
+    out = jnp.einsum("bhwc,xyco->bhwo", inner, out_conv["kernel"]) + out_conv["bias"]
+    gn = v["params"]["to_out_norm"]
+    mean = out.mean(axis=(1, 2, 3), keepdims=True)
+    var = out.var(axis=(1, 2, 3), keepdims=True)
+    expected = (out - mean) / np.sqrt(var + 1e-5) * gn["scale"] + gn["bias"]
+    np.testing.assert_allclose(np.asarray(full), np.asarray(expected), atol=1e-4)

@@ -79,3 +79,49 @@ def test_train_cli_main(train_root, tmp_path):
     assert len(train_losses) >= 2 and np.isfinite(train_losses).all()
     # sanity validation ran (val scores logged before training)
     assert osp.isdir(osp.join(exp_dir, "checkpoints"))
+
+
+def test_warm_start_from_torch_checkpoint(tmp_path):
+    """_maybe_warm_start must port a reference-format torch .pth into the
+    running params."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from nope_tpu.cli.train import _maybe_warm_start
+    from nope_tpu.configs import load_config
+    from nope_tpu.models.factory import build_task
+    from tests.oracles.torch_pose_unet import TorchPoseUNet
+
+    torch.manual_seed(0)
+    oracle = TorchPoseUNet(u_net_dim=8, channels=4, rot_dim=6, dim_mults=(1, 2),
+                           groups=4)
+    ckpt = str(tmp_path / "unet.pth")
+    torch.save(oracle.state_dict(), ckpt)
+
+    cfg = load_config(None, TINY_OVERRIDES + [
+        f"model.u_net.pretrained_path={ckpt}",
+    ])
+    task = build_task(cfg.model)
+    params = task.init(jax.random.key(0), image_size=32)
+    before = np.asarray(params["unet"]["init_conv"]["kernel"]).copy()
+    params = _maybe_warm_start(task, params, cfg)
+    after = np.asarray(params["unet"]["init_conv"]["kernel"])
+    expected = oracle.init_conv.weight.detach().numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(after, expected, atol=1e-6)
+    assert not np.allclose(before, after)
+
+
+def test_save_restore_params_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from nope_tpu.training.checkpoint import restore_params, save_params
+
+    params = {"a": {"w": jnp.arange(6.0).reshape(2, 3)}, "b": jnp.ones(4)}
+    path = str(tmp_path / "params_ckpt")
+    save_params(path, jax.device_get(params))
+    back = restore_params(path, jax.device_get(params))
+    np.testing.assert_allclose(np.asarray(back["a"]["w"]), np.arange(6.0).reshape(2, 3))
+    np.testing.assert_allclose(np.asarray(back["b"]), 1.0)
