@@ -36,6 +36,7 @@ class ObjaverseDataset:
         self.root_dir = root_dir
         self.img_size = img_size
         self.rot_representation = rot_representation
+        self._seed = seed
         self._rng = random.Random(seed)
         self._load_metadata(max_objects)
         logging.info("Objaverse: %d query images", len(self.query_paths))
@@ -75,14 +76,15 @@ class ObjaverseDataset:
         idx = int(osp.basename(path).split(".")[0])
         return np.load(osp.join(self.root_dir, "object_poses", f"{obj_name}.npy"))[idx]
 
-    def sample_reference(self, query_path: str) -> str:
+    def sample_reference(self, query_path: str, index: int = 0) -> str:
+        """Deterministic, thread-safe draw (cf. shapenet.sample_reference)."""
         avail = sorted(glob.glob(osp.join(osp.dirname(query_path), "*.png")))
         avail.remove(query_path)
-        return self._rng.choice(avail)
+        return random.Random(f"{self._seed}/{index}").choice(avail)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         query_path = self.query_paths[index]
-        reference_path = self.sample_reference(query_path)
+        reference_path = self.sample_reference(query_path, index)
         q_pose, r_pose = self.get_pose(query_path), self.get_pose(reference_path)
 
         def prep(path, pose):

@@ -114,7 +114,8 @@ class ShapeNetDataset:
         self.load_gt_templates = load_gt_templates
         self.is_testing_split = split != "training"
         self._rng = random.Random(seed)
-        self._item_rng = random.Random(seed + 1)
+        self._item_seed = seed + 1
+        self._epoch = 0
 
         self._load_testing_template_poses()
         self._load_symmetry_mapping()
@@ -277,19 +278,28 @@ class ShapeNetDataset:
             convert_rotation(rel_inv, self.rot_representation),
         )
 
-    def sample_reference(self, query_path: str) -> str:
+    def sample_reference(self, query_path: str, index: int = 0) -> str:
+        """Reference-image sampling.  Unlike the reference's shared
+        global RNG (racy under loader workers), the draw is a pure
+        function of (seed, item index, epoch counter) — deterministic
+        and thread-safe."""
+        rng = random.Random(f"{self._item_seed}/{index}/{self._epoch}")
         obj_dir = osp.dirname(query_path)
         if not self.is_testing_split:
             obj_name = osp.basename(obj_dir)
-            return self._item_rng.choice(self.query_to_references[obj_name])
+            return rng.choice(self.query_to_references[obj_name])
         refs = sorted(glob.glob(osp.join(obj_dir, "reference*.png")))
-        return self._item_rng.choice(refs)
+        return rng.choice(refs)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the reference-sampling stream between epochs."""
+        self._epoch = epoch
 
     # -- item assembly -----------------------------------------------------------
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         query_path = self.query_paths[index]
-        reference_path = self.sample_reference(query_path)
+        reference_path = self.sample_reference(query_path, index)
         query_pose = self.get_pose(query_path)
         ref_pose = self.get_pose(reference_path)
         query = self._transform(self._crop(self.open_image(query_path), query_pose))

@@ -99,12 +99,11 @@ def test_unseen_training_split(mini_shapenet):
 
 
 def test_relative_rotation_consistency(mini_shapenet):
-    """gt_relativeR must equal R_q @ R_rᵀ of the stored poses."""
+    """gt_relativeR must equal R_q @ R_rᵀ of the stored poses, and
+    reference sampling is deterministic per (seed, index)."""
     ds = ShapeNetDataset(mini_shapenet, split="bottle", img_size=IMG)
     q_path = ds.query_paths[0]
-    item0 = None
-    # reconstruct with the same reference sampling by re-seeding
-    ds._item_rng.seed(123)
+    assert ds.sample_reference(q_path, 0) == ds.sample_reference(q_path, 0)
     item0 = ds[0]
     q_pose = ds.get_pose(q_path)
     rel6d = item0["gt_relativeR"]

@@ -125,3 +125,35 @@ def test_save_restore_params_roundtrip(tmp_path):
     back = restore_params(path, jax.device_get(params))
     np.testing.assert_allclose(np.asarray(back["a"]["w"]), np.arange(6.0).reshape(2, 3))
     np.testing.assert_allclose(np.asarray(back["b"]), 1.0)
+
+
+def test_export_cli_roundtrip(tmp_path):
+    """export CLI: torch U-Net -> orbax params dir -> test_shapenet-style
+    restore."""
+    import torch
+
+    import jax
+
+    from nope_tpu.cli.export import main as export_main
+    from nope_tpu.configs import load_config
+    from nope_tpu.models.factory import build_task
+    from nope_tpu.training.checkpoint import restore_params
+    from tests.oracles.torch_pose_unet import TorchPoseUNet
+
+    torch.manual_seed(1)
+    oracle = TorchPoseUNet(u_net_dim=8, channels=4, rot_dim=6, dim_mults=(1, 2),
+                           groups=4)
+    ckpt = str(tmp_path / "unet.pth")
+    torch.save(oracle.state_dict(), ckpt)
+    out = str(tmp_path / "exported")
+
+    export_main(["--out", out, "--unet", ckpt] + TINY_OVERRIDES)
+
+    cfg = load_config(None, TINY_OVERRIDES)
+    task = build_task(cfg.model)
+    params = task.init(jax.random.key(0), image_size=32)
+    restored = restore_params(out, jax.device_get(params))
+    expected = oracle.init_conv.weight.detach().numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(
+        np.asarray(restored["unet"]["init_conv"]["kernel"]), expected, atol=1e-6
+    )
