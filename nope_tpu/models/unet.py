@@ -54,6 +54,7 @@ class PoseUNet(nn.Module):
     use_hard_up_down: bool = True
     double_bottleneck: bool = True
     fused_attention: bool = False  # Pallas linear-attention inner (TPU)
+    remat: bool = False  # rematerialize ResnetBlocks (memory ↓, FLOPs ↑)
     out_dim: int | None = None
 
     @nn.compact
@@ -67,6 +68,10 @@ class PoseUNet(nn.Module):
 
         down_klass = HardDownsample if self.use_hard_up_down else Downsample
         up_klass = HardUpsample if self.use_hard_up_down else Upsample
+        # gradient rematerialization trades FLOPs for activation memory
+        # (the jax.checkpoint analogue of LDM's hand-rolled checkpoint
+        # util the reference vendors but never enables)
+        block_klass = nn.remat(ResnetBlock) if self.remat else ResnetBlock
 
         c = PoseMLP(classes_dim, kind=self.pose_mlp_name, name="pose_mlp")(pose)
 
@@ -77,9 +82,9 @@ class PoseUNet(nn.Module):
         num_resolutions = len(in_out)
         for ind, (dim_in, dim_out) in enumerate(in_out):
             is_last = ind >= num_resolutions - 1
-            x = ResnetBlock(dim_in, groups=groups, name=f"downs_{ind}_block1")(x, c)
+            x = block_klass(dim_in, groups=groups, name=f"downs_{ind}_block1")(x, c)
             hs.append(x)
-            x = ResnetBlock(dim_in, groups=groups, name=f"downs_{ind}_block2")(x, c)
+            x = block_klass(dim_in, groups=groups, name=f"downs_{ind}_block2")(x, c)
             x = ResidualPreNormAttention(
                 linear=True, fused=self.fused_attention, name=f"downs_{ind}_attn"
             )(x)
@@ -90,9 +95,9 @@ class PoseUNet(nn.Module):
                 x = down_klass(dim_out, name=f"downs_{ind}_down")(x)
 
         mid_dim = dims[-1]
-        mid_block1 = ResnetBlock(mid_dim, groups=groups, name="mid_block1")
+        mid_block1 = block_klass(mid_dim, groups=groups, name="mid_block1")
         mid_attn = ResidualPreNormAttention(linear=False, name="mid_attn")
-        mid_block2 = ResnetBlock(mid_dim, groups=groups, name="mid_block2")
+        mid_block2 = block_klass(mid_dim, groups=groups, name="mid_block2")
 
         passes = 2 if self.double_bottleneck else 1
         for _ in range(passes):  # u_net.py:177-183 runs the bottleneck twice
@@ -103,9 +108,9 @@ class PoseUNet(nn.Module):
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = ind == len(in_out) - 1
             x = jnp.concatenate((x, hs.pop()), axis=-1)
-            x = ResnetBlock(dim_out, groups=groups, name=f"ups_{ind}_block1")(x, c)
+            x = block_klass(dim_out, groups=groups, name=f"ups_{ind}_block1")(x, c)
             x = jnp.concatenate((x, hs.pop()), axis=-1)
-            x = ResnetBlock(dim_out, groups=groups, name=f"ups_{ind}_block2")(x, c)
+            x = block_klass(dim_out, groups=groups, name=f"ups_{ind}_block2")(x, c)
             x = ResidualPreNormAttention(
                 linear=True, fused=self.fused_attention, name=f"ups_{ind}_attn"
             )(x)
@@ -115,7 +120,7 @@ class PoseUNet(nn.Module):
                 x = up_klass(dim_in, name=f"ups_{ind}_up")(x)
 
         x = jnp.concatenate((x, r), axis=-1)
-        x = ResnetBlock(self.u_net_dim, groups=groups, name="final_res_block")(x, c)
+        x = block_klass(self.u_net_dim, groups=groups, name="final_res_block")(x, c)
         x = ResnetBlock(
             self.u_net_dim, groups=groups, use_conditioning=False, name="final_conv_block"
         )(x)

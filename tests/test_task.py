@@ -191,3 +191,26 @@ def test_half_precision_eval(task_and_params, rng):
     assert np.array_equal(
         np.asarray(out16["nearest_idx"][:, 0]), np.asarray(out32["nearest_idx"][:, 0])
     )
+
+
+def test_quaternion_rotation_representation(rng):
+    """End-to-end with rot_representation=quaternion (pose_dim=4)."""
+    unet = PoseUNet(u_net_dim=8, channels=4, dim_mults=(1, 2),
+                    resnet_block_groups=4, rot_representation_dim=4)
+    vae = StableDiffusionVAE(
+        block_out_channels=(8, 8, 8, 8), layers_per_block=1, latent_channels=4,
+        groups=4,
+    )
+    task = PoseConditionalTask(unet, vae, TaskConfig())
+    params = task.init(jax.random.key(0), image_size=IMG)
+    mats = rotations.random_rotations(jax.random.key(5), 2)
+    quat = rotations.matrix_to_quaternion(mats)
+    quat_inv = rotations.matrix_to_quaternion(jnp.swapaxes(mats, -1, -2))
+    batch = {
+        "query": jnp.zeros((2, IMG, IMG, 3)),
+        "reference": jnp.zeros((2, IMG, IMG, 3)),
+        "relativeR": quat,
+        "relativeR_inv": quat_inv,
+    }
+    loss = task.train_loss(params, batch)
+    assert np.isfinite(float(loss))

@@ -107,3 +107,21 @@ def test_pose_conditioning_affects_output(torch_model, flax_model, rng):
     o1 = flax_model.apply(variables, x, p1)
     o2 = flax_model.apply(variables, x, p2)
     assert float(jnp.max(jnp.abs(o1 - o2))) > 1e-3
+
+
+def test_remat_preserves_outputs_and_grads(rng):
+    """remat=True must be numerically identical (same params) with
+    finite gradients."""
+    base = PoseUNet(u_net_dim=DIM, channels=CHANNELS, dim_mults=MULTS,
+                    resnet_block_groups=GROUPS, remat=False)
+    rematted = PoseUNet(u_net_dim=DIM, channels=CHANNELS, dim_mults=MULTS,
+                        resnet_block_groups=GROUPS, remat=True)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, CHANNELS)).astype(np.float32))
+    pose = jnp.asarray(rng.normal(size=(1, 6)).astype(np.float32))
+    v = base.init(jax.random.key(0), x, pose)
+    out_a = base.apply(v, x, pose)
+    out_b = rematted.apply(v, x, pose)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-6)
+
+    g = jax.grad(lambda v: jnp.sum(rematted.apply(v, x, pose) ** 2))(v)
+    assert all(np.isfinite(l).all() for l in jax.tree.leaves(g))
