@@ -32,6 +32,7 @@ class TestingConfig:
     similarity_metric: str = "l2"  # the reference quirk metric
     retrieval_k: int = 5
     fast_evaluation: bool = True
+    half_precision_eval: bool = False  # bf16 bank+retrieval (~+15% tput)
 
 
 @dataclass

@@ -90,5 +90,6 @@ def build_task(cfg: ModelConfig) -> PoseConditionalTask:
         similarity_metric=cfg.testing_config.similarity_metric,
         retrieval_k=cfg.testing_config.retrieval_k,
         using_KL=cfg.encoder.using_KL,
+        half_precision_eval=cfg.testing_config.half_precision_eval,
     )
     return PoseConditionalTask(unet, encoder, task_cfg)
