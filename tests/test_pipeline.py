@@ -139,3 +139,17 @@ def test_dataloader_early_abandonment_no_deadlock():
         del it  # abandon with the queue full
     time.sleep(1.0)  # generous drain window
     assert threading.active_count() <= before + 1
+
+
+def test_grain_loader_adapter():
+    """Optional grain pipeline: batches match the dataset content."""
+    pytest.importorskip("grain")
+    from nope_tpu.data.grain_pipeline import make_grain_loader
+
+    loader = make_grain_loader(
+        ToyDataset(10), batch_size=2, shuffle=True, seed=3, num_epochs=1
+    )
+    batches = list(loader)
+    assert len(batches) == 5
+    seen = sorted(float(b["x"][i, 0]) for b in batches for i in range(2))
+    assert seen == [float(i) for i in range(10)]

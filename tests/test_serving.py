@@ -69,3 +69,35 @@ def test_multi_object_isolation(estimator):
 def test_unregistered_object_raises(estimator, rng):
     with pytest.raises(KeyError, match="not registered"):
         estimator.estimate("ghost", rng.uniform(-1, 1, (1, IMG, IMG, 3)).astype(np.float32))
+
+
+def test_infer_cli(tmp_path, rng):
+    """End-to-end single-image inference CLI on PNG files."""
+    from PIL import Image
+
+    from nope_tpu.cli.infer import main
+
+    def save_png(path):
+        arr = rng.integers(0, 255, (64, 64, 4), dtype=np.uint8)
+        Image.fromarray(arr, "RGBA").save(path)
+
+    ref, q1, q2 = (str(tmp_path / n) for n in ("ref.png", "q1.png", "q2.png"))
+    for p in (ref, q1, q2):
+        save_png(p)
+    out = str(tmp_path / "poses.json")
+    main([
+        "--reference", ref, "--queries", q1, q2, "--fast", "--out", out,
+        "model.img_size=32", "model.u_net.u_net_dim=8",
+        "model.u_net.dim_mults=1,2", "model.u_net.resnet_block_groups=4",
+        "model.encoder.block_out_channels=8,8,8,8",
+        "model.encoder.layers_per_block=1", "model.encoder.norm_groups=4",
+    ])
+    import json
+
+    payload = json.load(open(out))
+    assert payload["num_templates"] == 26
+    assert len(payload["results"]) == 2
+    r = payload["results"][0]
+    assert len(r["topk_template_idx"]) == 5
+    assert np.asarray(r["topk_rotations"]).shape == (5, 3, 3)
+    assert len(r["similarity"]) == 26
