@@ -57,6 +57,7 @@ class BOPDataset(BaseBOP):
         self.pose_distribution = pose_distribution
         self.img_size = img_size
         self.virtual_bbox_size = virtual_bbox_size
+        self._seed = seed
         self._rng = np.random.default_rng(seed)
 
         if isinstance(obj_ids, str):
@@ -220,7 +221,9 @@ class BOPDataset(BaseBOP):
                 self.metaData["visib_fract"] >= 0.95,
             )
         candidates = self.metaData[same].reset_index(drop=True)
-        ref_row = candidates.iloc[int(self._rng.integers(len(candidates)))]
+        # deterministic, thread-safe draw per (seed, item index)
+        draw = np.random.default_rng([self._seed, idx]).integers(len(candidates))
+        ref_row = candidates.iloc[int(draw)]
         reference, reference_pose = self._load_image(ref_row)
 
         _, q_wo_inp = self._decompose(query_pose)
