@@ -45,20 +45,36 @@ void warp_perspective_f32(const float* src, int64_t H, int64_t W, int64_t C,
   inv[8] = (a * e - b * d) * id;
 
   for (int64_t y = 0; y < S; ++y) {
+    // coordinates in double (homography conditioning), weights in float
+    double wy6 = inv[7] * y + inv[8];
+    double wy0 = inv[1] * y + inv[2];
+    double wy3 = inv[4] * y + inv[5];
     for (int64_t x = 0; x < S; ++x) {
-      double w = inv[6] * x + inv[7] * y + inv[8];
-      double u = (inv[0] * x + inv[1] * y + inv[2]) / w;
-      double v = (inv[3] * x + inv[4] * y + inv[5]) / w;
+      double w = inv[6] * x + wy6;
+      double wr = 1.0 / w;
+      double u = (inv[0] * x + wy0) * wr;
+      double v = (inv[3] * x + wy3) * wr;
       float* out = dst + (y * S + x) * C;
       double uf = std::floor(u), vf = std::floor(v);
       int64_t u0 = (int64_t)uf, v0 = (int64_t)vf;
-      double du = u - uf, dv = v - vf;
+      float du = (float)(u - uf), dv = (float)(v - vf);
+      // fast path: fully interior bilinear (float math, unrolled C<=4)
+      if (u0 >= 0 && u0 + 1 < W && v0 >= 0 && v0 + 1 < H) {
+        const float* p00 = src + (v0 * W + u0) * C;
+        const float* p10 = p00 + W * C;
+        float w00 = (1.f - du) * (1.f - dv), w01 = du * (1.f - dv);
+        float w10 = (1.f - du) * dv, w11 = du * dv;
+        for (int64_t ch = 0; ch < C; ++ch)
+          out[ch] = w00 * p00[ch] + w01 * p00[C + ch] + w10 * p10[ch] +
+                    w11 * p10[C + ch];
+        continue;
+      }
       if (u0 < -1 || u0 >= W || v0 < -1 || v0 >= H) {
         std::memset(out, 0, sizeof(float) * C);
         continue;
       }
-      double w00 = (1 - du) * (1 - dv), w01 = du * (1 - dv);
-      double w10 = (1 - du) * dv, w11 = du * dv;
+      float w00 = (1.f - du) * (1.f - dv), w01 = du * (1.f - dv);
+      float w10 = (1.f - du) * dv, w11 = du * dv;
       bool in00 = (u0 >= 0 && u0 < W && v0 >= 0 && v0 < H);
       bool in01 = (u0 + 1 >= 0 && u0 + 1 < W && v0 >= 0 && v0 < H);
       bool in10 = (u0 >= 0 && u0 < W && v0 + 1 >= 0 && v0 + 1 < H);
@@ -68,12 +84,12 @@ void warp_perspective_f32(const float* src, int64_t H, int64_t W, int64_t C,
       const float* p10 = p00 + W * C;
       const float* p11 = p10 + C;
       for (int64_t ch = 0; ch < C; ++ch) {
-        double acc = 0.0;
+        float acc = 0.f;
         if (in00) acc += w00 * p00[ch];
         if (in01) acc += w01 * p01[ch];
         if (in10) acc += w10 * p10[ch];
         if (in11) acc += w11 * p11[ch];
-        out[ch] = (float)acc;
+        out[ch] = acc;
       }
     }
   }
