@@ -35,6 +35,7 @@ class DataLoader:
         num_workers: int = 4,
         seed: int = 0,
         prefetch: int = 2,
+        collate_fn=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -42,6 +43,7 @@ class DataLoader:
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
+        self.collate_fn = collate_fn or collate
         self._epoch = 0
         self._seed = seed
 
@@ -97,7 +99,7 @@ class DataLoader:
                         if stop.is_set():
                             return
                         items = list(pool.map(self.dataset.__getitem__, batch_idx))
-                        if not offer(collate(items)):
+                        if not offer(self.collate_fn(items)):
                             return
             except Exception as e:  # surface worker errors to the consumer
                 offer(e)
@@ -184,3 +186,24 @@ def device_prefetch(iterator: Iterator, sharding=None, depth: int = 2):
             yield buf.popleft()
     while buf:
         yield buf.popleft()
+
+
+def make_native_collate(img_size: int):
+    """Batch collate for raw RGBA+homography items
+    (``ShapeNetDataset.raw_item``): one fused native
+    composite+warp+normalize call per image role — ~2x the per-item
+    PIL+cv2 path single-core, thread-scaling on real hosts."""
+    from nope_tpu import native
+
+    def native_collate(items: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+        out: Dict[str, np.ndarray] = {}
+        for role in ("query", "reference"):
+            rgba = np.stack([it[f"{role}_rgba"] for it in items])
+            Ms = np.stack([it[f"{role}_M"] for it in items])
+            out[role] = native.preprocess_batch(rgba, Ms, img_size)
+        for key in items[0]:
+            if not key.endswith(("_rgba", "_M")):
+                out[key] = np.stack([it[key] for it in items])
+        return out
+
+    return native_collate

@@ -348,3 +348,62 @@ class ShapeNetDataset:
         if templates is not None:
             item["gt_templates"] = np.stack(templates)
         return item
+
+
+    # -- native fast path ------------------------------------------------------
+
+    def raw_item(self, index: int) -> Dict[str, np.ndarray]:
+        """Raw training item for the native collate path: undecoded-crop
+        RGBA images + their crop homographies, so a whole batch can be
+        composited+warped+normalized in one native call
+        (``nope_tpu.native.preprocess_batch``)."""
+        from nope_tpu.geometry.cropping import crop_homography
+
+        query_path = self.query_paths[index]
+        reference_path = self.sample_reference(query_path, index)
+        q_pose = self.get_pose(query_path)
+        r_pose = self.get_pose(reference_path)
+        rel, rel_inv = self._relative(q_pose, r_pose)
+
+        def rgba(path):
+            img = Image.open(path)
+            arr = np.asarray(img)
+            if arr.ndim == 2:
+                arr = np.stack([arr] * 3 + [np.full_like(arr, 255)], axis=-1)
+            elif arr.shape[2] == 3:
+                arr = np.concatenate(
+                    [arr, np.full(arr.shape[:2] + (1,), 255, np.uint8)], axis=-1
+                )
+            return arr
+
+        def hom(pose):
+            return crop_homography(
+                SHAPENET_INTRINSIC, pose, self.img_size, virtual_bbox_size=1.0
+            )
+
+        return {
+            "query_rgba": rgba(query_path),
+            "query_M": hom(q_pose),
+            "reference_rgba": rgba(reference_path),
+            "reference_M": hom(r_pose),
+            "relativeR": rel,
+            "relativeR_inv": rel_inv,
+        }
+
+
+class NativeCollateView:
+    """Wraps a ShapeNetDataset for the native batch-preprocess path:
+    items are raw RGBA+homography; pair with
+    :func:`nope_tpu.data.pipeline.native_collate`."""
+
+    def __init__(self, dataset: "ShapeNetDataset"):
+        if dataset.is_testing_split:
+            raise ValueError("native collate path is for training items")
+        self.dataset = dataset
+        self.img_size = dataset.img_size
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        return self.dataset.raw_item(index)
