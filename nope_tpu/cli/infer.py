@@ -32,11 +32,14 @@ def _load_image(path: str, img_size: int) -> np.ndarray:
     from nope_tpu import native
 
     img = Image.open(path)
+    # normalise palette / LA / grayscale modes before array conversion
+    if "A" in img.mode or "transparency" in img.info:
+        img = img.convert("RGBA")
+    else:
+        img = img.convert("RGB")
     arr = np.asarray(img)
-    if arr.ndim == 3 and arr.shape[2] == 4:
+    if arr.shape[2] == 4:
         arr = native.composite_rgba_black(arr)
-    elif arr.ndim == 2:
-        arr = np.stack([arr] * 3, axis=-1)
     img = Image.fromarray(arr).resize((img_size, img_size), Image.BILINEAR)
     return (np.asarray(img).astype(np.float32) / 255.0) * 2.0 - 1.0
 
@@ -85,13 +88,20 @@ def main(argv=None):
 
     report = []
     for i, qpath in enumerate(args.queries):
-        top = result.rotations[i]
+        rel = result.relative_rotations[i]
         report.append(
             {
                 "query": qpath,
                 "topk_template_idx": result.nearest_idx[i].tolist(),
-                "topk_rotations": top.tolist(),
-                "topk_rotation6d": top[:, :2, :].reshape(len(top), 6).tolist(),
+                # ΔR taking the reference view to the query view — the
+                # quantity NOPE estimates
+                "topk_relative_rotations": rel.tolist(),
+                "topk_relative_rotation6d": rel[:, :2, :]
+                .reshape(len(rel), 6)
+                .tolist(),
+                # the retrieved grid poses (absolute only if the object
+                # truly sat at the registered reference pose)
+                "topk_template_rotations": result.rotations[i].tolist(),
                 "similarity": result.similarity[i].tolist(),
             }
         )

@@ -131,6 +131,7 @@ class DatasetConfig:
     pose_distribution: str = "upper"
     fast_evaluation: bool = True
     load_gt_templates: bool = False  # template images for visualization only
+    native_preprocess: bool = False  # C++ fused batch composite+warp (training)
     # BOP extras
     template_dir: Optional[str] = None
     obj_ids: Optional[str] = None

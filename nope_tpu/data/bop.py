@@ -58,6 +58,7 @@ class BOPDataset(BaseBOP):
         self.img_size = img_size
         self.virtual_bbox_size = virtual_bbox_size
         self._seed = seed
+        self._epoch = 0
         self._rng = np.random.default_rng(seed)
 
         if isinstance(obj_ids, str):
@@ -166,6 +167,10 @@ class BOPDataset(BaseBOP):
     def __len__(self) -> int:
         return len(self.metaData)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the deterministic reference-sampling stream."""
+        self._epoch = epoch
+
     # -- item loading ----------------------------------------------------------------
 
     def _crop(self, img: np.ndarray, pose: np.ndarray, K: np.ndarray, diameter: float):
@@ -221,8 +226,10 @@ class BOPDataset(BaseBOP):
                 self.metaData["visib_fract"] >= 0.95,
             )
         candidates = self.metaData[same].reset_index(drop=True)
-        # deterministic, thread-safe draw per (seed, item index)
-        draw = np.random.default_rng([self._seed, idx]).integers(len(candidates))
+        # deterministic, thread-safe draw per (seed, item index, epoch)
+        draw = np.random.default_rng(
+            [self._seed, idx, self._epoch]
+        ).integers(len(candidates))
         ref_row = candidates.iloc[int(draw)]
         reference, reference_pose = self._load_image(ref_row)
 

@@ -37,6 +37,7 @@ class ObjaverseDataset:
         self.img_size = img_size
         self.rot_representation = rot_representation
         self._seed = seed
+        self._epoch = 0
         self._rng = random.Random(seed)
         self._load_metadata(max_objects)
         logging.info("Objaverse: %d query images", len(self.query_paths))
@@ -77,10 +78,14 @@ class ObjaverseDataset:
         return np.load(osp.join(self.root_dir, "object_poses", f"{obj_name}.npy"))[idx]
 
     def sample_reference(self, query_path: str, index: int = 0) -> str:
-        """Deterministic, thread-safe draw (cf. shapenet.sample_reference)."""
+        """Deterministic, thread-safe draw (cf. shapenet.sample_reference);
+        advances with :meth:`set_epoch` so pairs vary across epochs."""
         avail = sorted(glob.glob(osp.join(osp.dirname(query_path), "*.png")))
         avail.remove(query_path)
-        return random.Random(f"{self._seed}/{index}").choice(avail)
+        return random.Random(f"{self._seed}/{index}/{self._epoch}").choice(avail)
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         query_path = self.query_paths[index]

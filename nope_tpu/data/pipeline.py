@@ -65,6 +65,10 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         indices = self._epoch_indices()
+        # advance the dataset's own deterministic sampling stream (e.g.
+        # reference-image draws) in lock-step with the shuffle epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self._epoch)
         self._epoch += 1
         n_batches = len(self)
         batches = [

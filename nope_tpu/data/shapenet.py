@@ -218,12 +218,13 @@ class ShapeNetDataset:
 
     # -- image / pose loading --------------------------------------------------
 
-    def open_image(self, path: str) -> np.ndarray:
-        """RGBA → RGB over black background, with the corrupted-PNG zip
-        rescue (``shapeNet.py:184-210``)."""
+    def _open_with_rescue(self, path: str) -> Image.Image:
+        """PIL open with the corrupted-PNG zip rescue
+        (``shapeNet.py:184-210``)."""
         try:
             img = Image.open(path)
             img.load()
+            return img
         except Exception:
             logging.info("image %s corrupted; trying zip rescue", path)
             obj_id = int(osp.basename(osp.dirname(path))[4:])
@@ -236,6 +237,11 @@ class ShapeNetDataset:
                 img = Image.open(io.BytesIO(archive.read(inner)))
                 img.load()
             img.save(path)
+            return img
+
+    def open_image(self, path: str) -> np.ndarray:
+        """RGBA → RGB over black background (rescue-protected)."""
+        img = self._open_with_rescue(path)
         arr = np.asarray(img)
         if arr.ndim == 3 and arr.shape[2] == 4:
             # native C++ composite when built; numpy fallback inside
@@ -366,7 +372,7 @@ class ShapeNetDataset:
         rel, rel_inv = self._relative(q_pose, r_pose)
 
         def rgba(path):
-            img = Image.open(path)
+            img = self._open_with_rescue(path)
             arr = np.asarray(img)
             if arr.ndim == 2:
                 arr = np.stack([arr] * 3 + [np.full_like(arr, 255)], axis=-1)
@@ -404,6 +410,9 @@ class NativeCollateView:
 
     def __len__(self) -> int:
         return len(self.dataset)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.dataset.set_epoch(epoch)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         return self.dataset.raw_item(index)

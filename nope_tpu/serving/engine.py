@@ -12,8 +12,8 @@ API::
     est = PoseEstimator(task, params, level=2, pose_distribution="upper")
     est.register_object("mug0", reference_image)        # once per object
     result = est.estimate("mug0", query_images)          # many times
-    result.rotations      # (B, k, 3, 3) retrieved template rotations
-    result.similarity     # (B, N) viewpoint-bin pose distribution
+    result.relative_rotations  # (B, k, 3, 3) ΔR reference→query
+    result.similarity          # (B, N) viewpoint-bin pose distribution
 """
 
 from __future__ import annotations
@@ -33,7 +33,13 @@ from nope_tpu.geometry.transforms import relative_rotation_jax
 @dataclasses.dataclass
 class PoseEstimate:
     nearest_idx: np.ndarray  # (B, k) indices into the template grid
-    rotations: np.ndarray  # (B, k, 3, 3) retrieved absolute rotations
+    #: (B, k, 3, 3) relative rotations ΔR = T_i · R_refᵀ — THE primary
+    #: output: the rotation taking the reference view to the query view
+    relative_rotations: np.ndarray
+    #: (B, k, 3, 3) the retrieved grid poses themselves; these are the
+    #: query's *absolute* rotations only if the object really was at the
+    #: registered reference_pose in the reference image
+    rotations: np.ndarray
     similarity: np.ndarray  # (B, N) pose distribution over viewpoint bins
     template_poses: np.ndarray  # (N, 3, 3) the grid (shared)
 
@@ -68,21 +74,43 @@ class PoseEstimator:
             grid = so3_grid.get_obj_poses_from_template_level(level, pose_distribution)
         self.template_poses = grid[:, :3, :3].astype(np.float32)
         self._banks: Dict[str, jax.Array] = {}
+        self._ref_poses: Dict[str, np.ndarray] = {}
 
-        # jitted programs (compiled once per shape)
+        # jitted programs (compiled once per shape); the bank broadcast
+        # lives inside the jit so XLA never materialises per-query copies
         self._register_fn = jax.jit(
             lambda p, ref, bank_R: task.generate_template_bank(
                 p, ref, bank_R, chunk_size=chunk_size
             ),
             static_argnames=(),
         )
-        self._score_fn = jax.jit(
-            lambda p, q, bank: task.retrieval(p, q, bank)
-        )
+
+        def _score(p, q, bank):
+            bank_b = jnp.broadcast_to(bank, (q.shape[0],) + bank.shape[1:])
+            return task.retrieval(p, q, bank_b)
+
+        self._score_fn = jax.jit(_score)
 
     @property
     def num_templates(self) -> int:
         return len(self.template_poses)
+
+    def _pose_representation(self, rel: jax.Array) -> jax.Array:
+        """Encode ΔR matrices in the representation the U-Net was built
+        for (rot_representation_dim: 6 → rotation-6d, 4 → quaternion,
+        3 → euler XYZ)."""
+        dim = getattr(self.task.unet, "rot_representation_dim", 6)
+        if dim == 6:
+            return matrix_to_rotation_6d(rel)
+        if dim == 4:
+            from nope_tpu.geometry.rotations import matrix_to_quaternion
+
+            return matrix_to_quaternion(rel)
+        if dim == 3:
+            from nope_tpu.geometry.rotations import matrix_to_euler_angles
+
+            return matrix_to_euler_angles(rel, "XYZ")
+        raise ValueError(f"unsupported rotation representation dim {dim}")
 
     def _bank_relative_rotations(self, reference_pose: np.ndarray) -> jax.Array:
         rel = relative_rotation_jax(
@@ -92,7 +120,7 @@ class PoseEstimator:
                 (self.num_templates, 3, 3),
             ),
         )
-        return matrix_to_rotation_6d(rel)[None]  # (1, N, 6)
+        return self._pose_representation(rel)[None]  # (1, N, dim)
 
     def register_object(
         self,
@@ -104,12 +132,15 @@ class PoseEstimator:
         object from a single (H, W, 3) [-1, 1] reference image."""
         if reference_pose is None:
             reference_pose = self.template_poses[0]
+        reference_pose = np.asarray(reference_pose, np.float32)
         bank_R = self._bank_relative_rotations(reference_pose)
         ref = jnp.asarray(reference_image, jnp.float32)[None]
         self._banks[object_id] = self._register_fn(self.params, ref, bank_R)
+        self._ref_poses[object_id] = reference_pose
 
     def deregister_object(self, object_id: str) -> None:
         self._banks.pop(object_id, None)
+        self._ref_poses.pop(object_id, None)
 
     def estimate(self, object_id: str, query_images: np.ndarray) -> PoseEstimate:
         """Score (B, H, W, 3) query images against the object's bank."""
@@ -119,13 +150,14 @@ class PoseEstimator:
         queries = jnp.asarray(query_images, jnp.float32)
         if queries.ndim == 3:
             queries = queries[None]
-        b = queries.shape[0]
-        bank_b = jnp.broadcast_to(bank, (b,) + bank.shape[1:])
-        sim, idx = self._score_fn(self.params, queries, bank_b)
+        sim, idx = self._score_fn(self.params, queries, bank)
         idx_np = np.asarray(idx)
+        retrieved = self.template_poses[idx_np]  # (B, k, 3, 3)
+        ref_pose = self._ref_poses[object_id]
         return PoseEstimate(
             nearest_idx=idx_np,
-            rotations=self.template_poses[idx_np],
+            relative_rotations=retrieved @ ref_pose.T,
+            rotations=retrieved,
             similarity=np.asarray(sim),
             template_poses=self.template_poses,
         )

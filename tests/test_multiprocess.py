@@ -79,11 +79,16 @@ print(f"RESULT pid={pid} loss={loss:.6f}", flush=True)
     reason="multi-process test disabled",
 )
 def test_two_process_data_parallel_train_step(tmp_path):
-    port = 29517
+    import socket
+
+    with socket.socket() as s:  # grab a free port; avoids collisions
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = tmp_path / "worker.py"
     script.write_text(_WORKER.replace("{port}", str(port)))
     env = dict(os.environ)
-    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = repo_root + ":" + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(pid)],

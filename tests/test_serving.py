@@ -37,6 +37,14 @@ def test_register_and_estimate(estimator, rng):
     result = estimator.estimate("mug", queries)
     assert result.nearest_idx.shape == (3, 5)
     assert result.rotations.shape == (3, 5, 3, 3)
+    assert result.relative_rotations.shape == (3, 5, 3, 3)
+    # relative = retrieved @ ref_poseᵀ with the default canonical ref
+    ref_pose = estimator.template_poses[0]
+    np.testing.assert_allclose(
+        result.relative_rotations[0, 0],
+        result.rotations[0, 0] @ ref_pose.T,
+        atol=1e-6,
+    )
     assert result.similarity.shape == (3, 26)
     assert result.template_poses.shape == (26, 3, 3)
     # retrieved rotations really are grid entries
@@ -99,5 +107,6 @@ def test_infer_cli(tmp_path, rng):
     assert len(payload["results"]) == 2
     r = payload["results"][0]
     assert len(r["topk_template_idx"]) == 5
-    assert np.asarray(r["topk_rotations"]).shape == (5, 3, 3)
+    assert np.asarray(r["topk_relative_rotations"]).shape == (5, 3, 3)
+    assert np.asarray(r["topk_template_rotations"]).shape == (5, 3, 3)
     assert len(r["similarity"]) == 26
