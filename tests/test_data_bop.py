@@ -121,3 +121,64 @@ def test_bop19_list_filter(mini_bop, tmp_path):
         img_size=IMG, reset_metaData=False, bop19_test_list=str(lst),
     )
     assert len(ds) == 2
+
+
+def test_bop_cli_end_to_end_with_mock_renderer(mini_bop, tmp_path, monkeypatch, capsys):
+    """cli.test_bop: device retrieval -> per-frame records -> (mocked)
+    renderer -> BOP'19 scores, through the real main()."""
+    import sys
+    import types
+
+    import cv2
+    import numpy as np
+    import yaml
+
+    from nope_tpu.evaluation import vsd as vsd_mod
+
+    def fake_depth(pose):
+        d = np.zeros((128, 128))
+        off = int(40 + 30 * np.clip(pose[0, 0], -1, 1))
+        d[off : off + 30, off : off + 30] = 500.0
+        return d
+
+    monkeypatch.setattr(
+        vsd_mod, "_render_depths",
+        lambda mesh, poses, K, size: [
+            fake_depth(p) for p in np.atleast_3d(poses).reshape(-1, 4, 4)
+        ],
+    )
+    fake_mesh_mod = types.SimpleNamespace(load_mesh=lambda path: "trimesh")
+    monkeypatch.setitem(sys.modules, "nope_tpu.utils.mesh", fake_mesh_mod)
+    fake_pyrender = types.SimpleNamespace(
+        Mesh=types.SimpleNamespace(from_trimesh=lambda m: m)
+    )
+    monkeypatch.setitem(sys.modules, "pyrender", fake_pyrender)
+
+    cfg = {
+        "data": {"datasets": {"tless": {
+            "name": "tless", "root_dir": mini_bop, "split": "test",
+            "img_size": 32, "obj_ids": "1",
+        }}},
+    }
+    cfg_path = str(tmp_path / "bop_cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    from nope_tpu.cli.test_bop import main
+
+    main([
+        "--config", cfg_path, "--max-batches", "1", "--chunk-size", "341",
+        "model.img_size=32", "model.u_net.u_net_dim=8",
+        "model.u_net.dim_mults=1,2", "model.u_net.resnet_block_groups=4",
+        "model.encoder.block_out_channels=8,8,8,8",
+        "model.encoder.layers_per_block=1", "model.encoder.norm_groups=4",
+        "machine.batch_size=2", "machine.num_workers=2",
+        f"save_dir={tmp_path}/out", "name_exp=bop",
+    ])
+    out = capsys.readouterr().out
+    import json
+
+    scores = json.loads(out[out.index("{"):])
+    assert "top 1, vsd_scores 0.3" in scores
+    assert "top 5, vsd_median" in scores
+    assert np.isfinite(list(scores.values())).all()
