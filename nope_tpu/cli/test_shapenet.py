@@ -34,6 +34,9 @@ def main(argv=None):
     parser.add_argument("--categories", default=None, help="comma-separated")
     parser.add_argument("--max-batches", type=int, default=None)
     parser.add_argument("--chunk-size", type=int, default=None)
+    parser.add_argument("--mesh-data", type=int, default=None,
+                        help="shard eval over a (data, template) mesh")
+    parser.add_argument("--mesh-template", type=int, default=1)
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
@@ -104,6 +107,13 @@ def main(argv=None):
             num_workers=cfg.machine.num_workers,
         )
 
+    mesh = None
+    if args.mesh_data or args.mesh_template > 1:
+        from nope_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(data=args.mesh_data, template=args.mesh_template)
+        logging.info("eval mesh: %s", dict(mesh.shape))
+
     results = evaluate_geodesic_full(
         task,
         params,
@@ -112,6 +122,7 @@ def main(argv=None):
         chunk_size=args.chunk_size,
         max_batches=args.max_batches,
         save_dir=os.path.join(cfg.save_dir, "predictions"),
+        mesh=mesh,
     )
     out_path = os.path.join(cfg.save_dir, "scores.json")
     with open(out_path, "w") as f:

@@ -29,10 +29,33 @@ def evaluate_geodesic(
     save_dir: Optional[str] = None,
     tag: str = "eval",
     max_batches: Optional[int] = None,
+    mesh=None,
 ) -> Dict[str, float]:
     """Run the geodesic eval over a loader; returns aggregated scores
-    (mean over batches of accuracy, median over all errors, mean loss)."""
+    (mean over batches of accuracy, median over all errors, mean loss).
+
+    With ``mesh`` (a (data, template) Mesh) the batch is sharded over
+    the data axis and the template bank over the template axis, so the
+    N-template U-Net sweep spreads across chips."""
     step_fn = jax.jit(task.eval_geodesic_step, static_argnames=("chunk_size",))
+
+    def place(batch):
+        if mesh is None:
+            return batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from nope_tpu.parallel.mesh import DATA_AXIS, TEMPLATE_AXIS
+
+        def put(k, v):
+            if k in ("all_relativeR", "gt_templates"):
+                spec = P(DATA_AXIS, TEMPLATE_AXIS)
+            elif np.ndim(v) >= 1:
+                spec = P(DATA_AXIS)
+            else:
+                spec = P()
+            return jax.device_put(v, NamedSharding(mesh, spec))
+
+        return {k: put(k, v) for k, v in batch.items()}
 
     all_errors = []
     losses = []
@@ -46,7 +69,7 @@ def evaluate_geodesic(
             for k, v in batch.items()
             if isinstance(v, np.ndarray) and v.dtype.kind in "fiub"
         }
-        out = step_fn(params, device_batch, chunk_size=chunk_size)
+        out = step_fn(params, place(device_batch), chunk_size=chunk_size)
         all_errors.append(np.asarray(out["errors_topk"]))
         losses.append(float(out["loss"]))
         n_items += len(out["error_deg"])

@@ -181,3 +181,35 @@ def test_overfit_single_batch(tiny_cfg, rng):
         losses.append(float(metrics["loss/train_avg"]))
     assert losses[-1] < 0.6 * losses[0], (losses[0], losses[-1])
     assert np.isfinite(losses).all()
+
+
+def test_test_shapenet_cli_sharded(tiny_cfg, mini_root, capsys):
+    """test_shapenet CLI with a (data=2, template=2) eval mesh produces
+    the same schema; sharded == single-device scores."""
+    import yaml
+
+    from nope_tpu.cli.test_shapenet import main
+
+    cfg_yaml = {
+        "data": {"datasets": {"shapeNet": {
+            "name": "shapeNet", "root_dir": mini_root, "img_size": 32,
+        }}}
+    }
+    cfg_path = osp.join(osp.dirname(tiny_cfg.save_dir), "cli_sharded.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg_yaml, f)
+
+    def run(extra, name):
+        main(
+            ["--config", cfg_path, "--categories", "bottle", "--max-batches", "1"]
+            + extra + TINY_OVERRIDES
+            + [f"save_dir={tiny_cfg.save_dir}_{name}", f"name_exp={name}",
+               "machine.batch_size=2"]
+        )
+        out = capsys.readouterr().out
+        return json.loads(out[out.index("{"):])["bottle"]
+
+    single = run([], "single")
+    sharded = run(["--mesh-data", "2", "--mesh-template", "2"], "sharded")
+    for key in ("top1, accuracy_15", "top1, median", "top5, median"):
+        np.testing.assert_allclose(sharded[key], single[key], rtol=1e-3, atol=1e-3)
