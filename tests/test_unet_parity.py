@@ -125,3 +125,36 @@ def test_remat_preserves_outputs_and_grads(rng):
 
     g = jax.grad(lambda v: jnp.sum(rematted.apply(v, x, pose) ** 2))(v)
     assert all(np.isfinite(l).all() for l in jax.tree.leaves(g))
+
+
+def test_port_parity_three_levels(rng):
+    """Port mapping at depth 3 (dim_mults=(1,2,4)) — exercises the
+    mid-depth down/upsample indices the 2-level test can't."""
+    torch.manual_seed(3)
+    oracle = TorchPoseUNet(
+        u_net_dim=16, channels=4, rot_dim=6, dim_mults=(1, 2, 4), groups=8
+    )
+    oracle.eval()
+    model = PoseUNet(
+        u_net_dim=16, channels=4, rot_representation_dim=6, dim_mults=(1, 2, 4),
+        resnet_block_groups=8, double_bottleneck=True,
+    )
+    sd = {k: v.detach().numpy() for k, v in oracle.state_dict().items()}
+    ported = port.port_pose_unet(sd, dim_mults=(1, 2, 4))
+    template = model.init(
+        jax.random.key(0), jnp.zeros((1, 16, 16, 4)), jnp.zeros((1, 6))
+    )["params"]
+    port.assert_tree_shapes_match(ported, template)
+
+    x = rng.normal(size=(1, 4, 16, 16)).astype(np.float32)
+    pose = rng.normal(size=(1, 6)).astype(np.float32)
+    with torch.no_grad():
+        ref = oracle(torch.from_numpy(x), torch.from_numpy(pose)).numpy()
+    with jax.default_matmul_precision("highest"):
+        out = model.apply(
+            {"params": jax.tree.map(jnp.asarray, ported)},
+            jnp.asarray(np.transpose(x, (0, 2, 3, 1))), jnp.asarray(pose),
+        )
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out), (0, 3, 1, 2)), ref, atol=3e-4, rtol=1e-3
+    )
