@@ -104,6 +104,7 @@ def main(argv=None):
             build_dataset(ds_cfg),
             batch_size=cfg.machine.batch_size,
             shuffle=False,
+            drop_last=False,  # the protocol scores every query image
             num_workers=cfg.machine.num_workers,
         )
 

@@ -39,27 +39,24 @@ def evaluate_geodesic(
     N-template U-Net sweep spreads across chips."""
     step_fn = jax.jit(task.eval_geodesic_step, static_argnames=("chunk_size",))
 
+    if mesh is not None:
+        from nope_tpu.parallel.mesh import replicate, shard_eval_batch
+
+        # restored checkpoints arrive committed to a single device; the
+        # jit refuses mixed placements, so replicate explicitly
+        params = jax.device_put(params, replicate(mesh))
+
     def place(batch):
         if mesh is None:
             return batch
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from nope_tpu.parallel.mesh import shard_eval_batch
 
-        from nope_tpu.parallel.mesh import DATA_AXIS, TEMPLATE_AXIS
-
-        def put(k, v):
-            if k in ("all_relativeR", "gt_templates"):
-                spec = P(DATA_AXIS, TEMPLATE_AXIS)
-            elif np.ndim(v) >= 1:
-                spec = P(DATA_AXIS)
-            else:
-                spec = P()
-            return jax.device_put(v, NamedSharding(mesh, spec))
-
-        return {k: put(k, v) for k, v in batch.items()}
+        return shard_eval_batch(batch, mesh)
 
     all_errors = []
     losses = []
     n_items = 0
+    steady_batch = None
     t0 = time.perf_counter()
     for i, batch in enumerate(loader):
         if max_batches is not None and i >= max_batches:
@@ -67,19 +64,39 @@ def evaluate_geodesic(
         device_batch = {
             k: v
             for k, v in batch.items()
+            # numeric arrays the eval step consumes; gt_templates is a
+            # host-side visualization bank the device never reads
             if isinstance(v, np.ndarray) and v.dtype.kind in "fiub"
+            and k != "gt_templates"
         }
+        # every query counts (drop_last=False loaders): pad ragged tail
+        # batches back to the steady batch size (avoids a retrace and
+        # keeps mesh divisibility), then trim the outputs
+        valid = len(device_batch["query"])
+        if steady_batch is None:
+            steady_batch = valid
+        if valid < steady_batch:
+            pad = steady_batch - valid
+
+            def _pad(v):
+                if np.ndim(v) >= 1 and len(v) == valid:
+                    reps = np.repeat(v[-1:], pad, axis=0)
+                    return np.concatenate([v, reps], axis=0)
+                return v
+
+            device_batch = {k: _pad(v) for k, v in device_batch.items()}
         out = step_fn(params, place(device_batch), chunk_size=chunk_size)
-        all_errors.append(np.asarray(out["errors_topk"]))
-        losses.append(float(out["loss"]))
-        n_items += len(out["error_deg"])
+        all_errors.append(np.asarray(out["errors_topk"])[:valid])
+        if valid == steady_batch:  # padded-batch losses would be skewed
+            losses.append(float(out["loss"]))
+        n_items += valid
         if save_dir is not None:
             os.makedirs(save_dir, exist_ok=True)
             np.savez(
                 os.path.join(save_dir, f"pred_{tag}_batch{i}.npz"),
-                similarity=np.asarray(out["similarity"]),
-                nearest_idx=np.asarray(out["nearest_idx"]),
-                error_deg=np.asarray(out["error_deg"]),
+                similarity=np.asarray(out["similarity"])[:valid],
+                nearest_idx=np.asarray(out["nearest_idx"])[:valid],
+                error_deg=np.asarray(out["error_deg"])[:valid],
                 query_pose=np.asarray(batch["query_pose"]),
             )
             # retrieval panel (reference model.py:325-351) for the first
@@ -91,7 +108,7 @@ def evaluate_geodesic(
                         unnormalize,
                     )
 
-                    top1 = np.asarray(out["nearest_idx"])[:, 0]
+                    top1 = np.asarray(out["nearest_idx"])[:valid, 0]
                     retrieved = batch["gt_templates"][
                         np.arange(len(top1)), top1
                     ]

@@ -54,12 +54,48 @@ def create_mesh(
     data axis; pass ``template=k`` to carve out template parallelism for
     eval-heavy workloads."""
     devices = list(devices if devices is not None else jax.devices())
+    if template < 1:
+        raise ValueError(f"template axis must be >= 1, got {template}")
     if data is None:
         data = len(devices) // template
+    if data < 1:
+        raise ValueError(f"data axis must be >= 1, got {data}")
     if data * template > len(devices):
         raise ValueError(f"mesh {data}x{template} > {len(devices)} devices")
     dev_array = np.asarray(devices[: data * template]).reshape(data, template)
     return Mesh(dev_array, (DATA_AXIS, TEMPLATE_AXIS))
+
+
+def shard_eval_batch(batch, mesh: Mesh, template_keys=("all_relativeR",)):
+    """Place an eval batch on a (data, template) mesh: bank-like keys
+    shard (data, template), other arrays shard the batch axis, scalars
+    replicate.  Validates divisibility up front with actionable errors
+    (XLA's own message is cryptic and only fires after compile)."""
+    n_data = mesh.shape[DATA_AXIS]
+    n_template = mesh.shape[TEMPLATE_AXIS]
+
+    def put(k, v):
+        v = np.asarray(v)
+        if k in template_keys:
+            if v.shape[1] % n_template:
+                raise ValueError(
+                    f"{k} template count {v.shape[1]} is not divisible by the "
+                    f"template mesh axis ({n_template}); pick --mesh-template "
+                    f"dividing the grid size"
+                )
+            spec = P(DATA_AXIS, TEMPLATE_AXIS)
+        elif v.ndim >= 1:
+            spec = P(DATA_AXIS)
+        else:
+            spec = P()
+        if v.ndim >= 1 and v.shape[0] % n_data:
+            raise ValueError(
+                f"batch size {v.shape[0]} (key {k!r}) is not divisible by the "
+                f"data mesh axis ({n_data}); adjust machine.batch_size"
+            )
+        return jax.device_put(v, NamedSharding(mesh, spec))
+
+    return {k: put(k, v) for k, v in batch.items()}
 
 
 def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:

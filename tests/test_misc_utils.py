@@ -27,14 +27,10 @@ def test_device_memory_stats():
 
 
 def test_trainer_media_logging(tmp_path, rng):
-    import dataclasses
-
     import jax
 
     from nope_tpu.configs import load_config
     from nope_tpu.models.factory import build_task
-    from nope_tpu.training.optim import make_optimizer
-    from nope_tpu.training.train_state import create_train_state
     from nope_tpu.training.trainer import Trainer
     from nope_tpu.data.pipeline import DataLoader
     from nope_tpu.geometry import rotations

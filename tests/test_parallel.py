@@ -96,3 +96,41 @@ def test_data_parallel_train_step_matches_single(task_and_params, rng):
         float(metrics_single["loss/train_avg"]),
         rtol=2e-5,
     )
+
+
+def test_sharded_eval_with_committed_params_and_ragged_tail(task_and_params, rng):
+    """Regression: checkpoint-restored params arrive committed to one
+    device — the sharded eval must replicate them itself; ragged final
+    batches (drop_last=False) are padded and trimmed."""
+    from nope_tpu.evaluation.geodesic import evaluate_geodesic
+    from nope_tpu.geometry import so3_grid, transforms
+
+    task, params = task_and_params
+    # commit to a single device like orbax restore does
+    params = jax.device_put(params, jax.devices()[0])
+
+    n = 8
+    grid = so3_grid.load_obj_poses(0)[:n, :3, :3].astype(np.float32)
+
+    def batch(size):
+        rel = transforms.relative_rotation_jax(
+            jnp.asarray(grid)[None].repeat(size, 0),
+            jnp.broadcast_to(jnp.asarray(grid[0]), (size, n, 3, 3)),
+        )
+        return {
+            "query": rng.uniform(-1, 1, (size, IMG, IMG, 3)).astype(np.float32),
+            "reference": rng.uniform(-1, 1, (size, IMG, IMG, 3)).astype(np.float32),
+            "gt_relativeR": np.asarray(
+                rotations.matrix_to_rotation_6d(jnp.asarray(grid[:size]))
+            ),
+            "all_relativeR": np.asarray(rotations.matrix_to_rotation_6d(rel)),
+            "query_pose": grid[:size],
+            "template_poses": np.broadcast_to(grid, (size, n, 3, 3)).copy(),
+            "symmetry": np.zeros(size, np.float32),
+        }
+
+    mesh = create_mesh(data=2, template=2)
+    # steady batch of 2, ragged tail of 1 → 3 queries scored
+    scores = evaluate_geodesic(task, params, [batch(2), batch(1)], mesh=mesh)
+    assert scores["num_images"] == 3.0
+    assert np.isfinite(scores["top1, median"])

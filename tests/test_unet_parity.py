@@ -42,9 +42,9 @@ def flax_model():
     )
 
 
-def _ported_params(torch_model, flax_model):
+def _ported_params(torch_model, flax_model, mults=MULTS):
     sd = {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
-    ported = port.port_pose_unet(sd, dim_mults=MULTS)
+    ported = port.port_pose_unet(sd, dim_mults=mults)
     template = flax_model.init(
         jax.random.key(0),
         jnp.zeros((1, 16, 16, CHANNELS)),
@@ -139,12 +139,7 @@ def test_port_parity_three_levels(rng):
         u_net_dim=16, channels=4, rot_representation_dim=6, dim_mults=(1, 2, 4),
         resnet_block_groups=8, double_bottleneck=True,
     )
-    sd = {k: v.detach().numpy() for k, v in oracle.state_dict().items()}
-    ported = port.port_pose_unet(sd, dim_mults=(1, 2, 4))
-    template = model.init(
-        jax.random.key(0), jnp.zeros((1, 16, 16, 4)), jnp.zeros((1, 6))
-    )["params"]
-    port.assert_tree_shapes_match(ported, template)
+    variables = _ported_params(oracle, model, mults=(1, 2, 4))
 
     x = rng.normal(size=(1, 4, 16, 16)).astype(np.float32)
     pose = rng.normal(size=(1, 6)).astype(np.float32)
@@ -152,7 +147,7 @@ def test_port_parity_three_levels(rng):
         ref = oracle(torch.from_numpy(x), torch.from_numpy(pose)).numpy()
     with jax.default_matmul_precision("highest"):
         out = model.apply(
-            {"params": jax.tree.map(jnp.asarray, ported)},
+            variables,
             jnp.asarray(np.transpose(x, (0, 2, 3, 1))), jnp.asarray(pose),
         )
     np.testing.assert_allclose(
