@@ -80,6 +80,17 @@ class Trainer:
             gamma=cfg.model.optim_config.gamma,
             steps_per_epoch=steps_per_epoch,
         )
+        # LR stream for the metric log (LearningRateMonitor analogue,
+        # configs/callback/lr/base.yaml)
+        from nope_tpu.training.optim import make_lr_schedule
+
+        self.lr_schedule = make_lr_schedule(
+            base_lr=cfg.model.optim_config.lr,
+            warm_up_steps=cfg.model.optim_config.warm_up_steps,
+            milestones_epochs=cfg.model.optim_config.milestones_epochs,
+            gamma=cfg.model.optim_config.gamma,
+            steps_per_epoch=steps_per_epoch,
+        )
         self.train_step = make_train_step(task, self.tx)
         self.mesh = create_mesh(
             data=cfg.machine.mesh_data, template=cfg.machine.mesh_template
@@ -173,6 +184,7 @@ class Trainer:
                     metrics["steps_per_sec"] = cfg.trainer.log_every_n_steps / (
                         now - t_last
                     )
+                    metrics["lr"] = float(self.lr_schedule(step))
                     t_last = now
                     self.logger.log(step, metrics)
 
