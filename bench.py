@@ -50,7 +50,7 @@ def build(tiny: bool):
         img, unet_dim, mults, groups = 256, 192, (1, 2, 4, 8), 8
         vae_kw = dict()  # full SD VAE
         n_templates = 26  # fast-eval grid (idx_upper_level0_in_level2)
-        batch = 32  # measured best throughput point on v5e
+        batch = 64  # measured best throughput point on v5e
         baseline_batch = 2  # baseline is per-image sequential: batch-invariant
 
     unet = PoseUNet(u_net_dim=unet_dim, channels=4, dim_mults=mults,
