@@ -158,7 +158,10 @@ def main():
             outs.append(ref_score(params, query[b : b + 1], bank_1))
         return outs
 
-    t_base = time_fn(baseline, params, reference, query, bank_R, iters=max(1, args.iters // 3))
+    # at least 2 measured baseline iterations: single-iteration baselines
+    # showed 13-28x run-to-run vs_baseline variance from dispatch noise
+    t_base = time_fn(baseline, params, reference, query, bank_R,
+                     iters=max(2, args.iters // 3))
 
     imgs_per_sec = batch / t_opt
     base_imgs_per_sec = baseline_batch / t_base
