@@ -245,11 +245,13 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        # flax ConvTranspose padding is in input-dilated coordinates:
+        # torch's output-crop p maps to k-1-p = 2 per side (H: 2x upsample)
         return nn.ConvTranspose(
             self.dim_out,
             (4, 4),
             strides=(2, 2),
-            padding=((1, 1), (1, 1)),
+            padding=((2, 2), (2, 2)),
             transpose_kernel=True,
             name="conv",
         )(x)

@@ -34,21 +34,28 @@ def make_lr_schedule(
         else None
     )
 
+    w = max(int(warm_up_steps), 0)
+
     def schedule(step):
         step = jnp.asarray(step)
-        # MultiStepLR: gamma^(milestone epochs crossed) — exact even when
-        # milestones fall inside the warmup window
+        # MultiStepLR semantics as actually driven by the reference
+        # (verified by executing model.py:70-94 under Lightning's loop,
+        # tests/test_reference_train_parity.py):
+        # - warm_up_lr overwrites pg["lr"] every step < warm_up_steps,
+        #   so milestones whose epoch ends during warmup are LOST (the
+        #   scheduler multiplied a value that gets overwritten)
+        # - the post-warmup base is the LAST warmup write,
+        #   (w-1)/w * base_lr, not base_lr itself (nothing restores it)
         if milestone_steps is not None:
-            factor = gamma ** jnp.sum(step >= milestone_steps)
+            applied = (milestone_steps >= w) & (step >= milestone_steps)
+            factor = gamma ** jnp.sum(applied)
         else:
             factor = 1.0
-        decayed = base_lr * factor
-        if warm_up_steps <= 0:
-            return decayed
-        # reference warmup overrides the scheduler LR outright while
-        # global_step < warm_up_steps (model.py:70-75, 173-176)
-        warm = step.astype(jnp.float32) / warm_up_steps * base_lr
-        return jnp.where(step < warm_up_steps, warm, decayed)
+        if w <= 0:
+            return base_lr * factor
+        decayed = base_lr * (w - 1) / w * factor
+        warm = step.astype(jnp.float32) / w * base_lr
+        return jnp.where(step < w, warm, decayed)
 
     return schedule
 

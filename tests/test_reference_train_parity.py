@@ -1,0 +1,256 @@
+"""Training-recipe parity driven through the ACTUAL reference source.
+
+Two proofs the hand-oracle tests couldn't give (VERDICT round-1 #1/#4):
+
+1. **Identical-batch loss parity** — a fixed (query, reference, ΔR)
+   batch through the real ``PoseConditional.training_step_single_dataloader``
+   (``src/model/model.py:106-137``: frozen encode, U-Net predict, L1/L2,
+   inv-ΔR symmetrization) vs :meth:`PoseConditionalTask.train_loss`
+   with ported weights, to fp32 tolerance.
+2. **LR sequence parity** — the reference's ``configure_optimizers`` +
+   ``warm_up_lr`` (``model.py:70-94``) driven exactly as Lightning
+   drives them (warmup overwrite per step, MultiStepLR per epoch),
+   compared step-for-step against :func:`make_lr_schedule`.  This is
+   what pinned the two scheduler quirks: milestones firing during
+   warmup are lost, and the post-warmup base is (w-1)/w * base_lr.
+"""
+
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import einops
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tests import refshim
+
+refshim.install()
+
+LAT = 4  # toy latent channels
+PATCH = 8  # VAE-style f8 downsample
+IMG = 32  # -> 4x4 latents
+
+
+# ---------------------------------------------------------------------------
+# shared toy encoder: space-to-depth(8) + fixed linear projection.
+# Deterministic and exactly replicable in both frameworks, standing in
+# for the (separately parity-tested) frozen SD-VAE.
+# ---------------------------------------------------------------------------
+
+
+class _ToyTorchEncoder:
+    """Duck-typed VAE_StableDiffusion stand-in (AutoencoderKL.py:28-42):
+    .latent_dim/.name/.encode_image(mode).  Not an nn.Module so the
+    U-Net's state_dict stays encoder-free, like the frozen reference."""
+
+    latent_dim = LAT
+    name = "toy"
+
+    def __init__(self, w: np.ndarray):
+        self.w = torch.from_numpy(w)
+
+    @torch.no_grad()
+    def encode_image(self, image, mode=None):
+        feats = einops.rearrange(
+            image, "b c (h p1) (w p2) -> b h w (c p1 p2)", p1=PATCH, p2=PATCH
+        )
+        latent = feats @ self.w
+        return latent.permute(0, 3, 1, 2).contiguous()
+
+
+class _ToyFlaxEncoder(nn.Module):
+    latent_dim: int = LAT
+
+    def setup(self):
+        self.proj = nn.Dense(self.latent_dim, use_bias=False)
+
+    def encode_image(self, images, mode="mode"):
+        feats = einops.rearrange(
+            images, "b (h p1) (w p2) c -> b h w (c p1 p2)", p1=PATCH, p2=PATCH
+        )
+        return self.proj(feats)
+
+    def decode_latent(self, latents):  # unused in train_loss
+        return latents
+
+    def __call__(self, images):
+        return self.encode_image(images)
+
+
+def _build_pair(loss_type: str, use_inv: bool, tmp_path):
+    """(reference PoseConditional, my PoseConditionalTask, shared params)."""
+    from src.model.model import PoseConditional
+    from src.model.u_net.denoising_diffusion_pytorch.u_net import UNet
+
+    from nope_tpu.models.unet import PoseUNet
+    from nope_tpu.tasks.pose_conditional import PoseConditionalTask, TaskConfig
+    from nope_tpu.training import port
+
+    rng = np.random.default_rng(7)
+    w = (rng.normal(size=(3 * PATCH * PATCH, LAT)) * 0.1).astype(np.float32)
+
+    torch.manual_seed(0)
+    t_unet = UNet(
+        u_net_dim=16,
+        rot_representation_dim=6,
+        encoder=_ToyTorchEncoder(w),
+        pose_mlp_name="single_layer",
+        dim_mults=(1, 2),
+        resnet_block_groups=8,
+    )
+    t_unet.eval()
+
+    optim_config = types.SimpleNamespace(
+        lr=1e-4, weight_decay=5e-4, warm_up_steps=100,
+        use_inv_deltaR=use_inv, loss_type=loss_type,
+    )
+    testing_config = types.SimpleNamespace(similarity_metric="l2")
+    ref_model = PoseConditional(
+        u_net=t_unet, optim_config=optim_config,
+        testing_config=testing_config, save_dir=str(tmp_path),
+    )
+    ref_model.eval()
+
+    j_unet = PoseUNet(
+        u_net_dim=16, channels=LAT, rot_representation_dim=6,
+        dim_mults=(1, 2), resnet_block_groups=8, double_bottleneck=True,
+    )
+    task = PoseConditionalTask(
+        j_unet,
+        _ToyFlaxEncoder(),
+        TaskConfig(loss_type=loss_type, use_inv_deltaR=use_inv),
+    )
+    sd = {k: v.detach().numpy() for k, v in t_unet.state_dict().items()}
+    params = {
+        "unet": jax.tree.map(jnp.asarray, port.port_pose_unet(sd, dim_mults=(1, 2))),
+        "vae": {"proj": {"kernel": jnp.asarray(w)}},
+    }
+    return ref_model, task, params
+
+
+@pytest.mark.parametrize("loss_type,use_inv", [("l1", True), ("l1", False), ("l2", True)])
+def test_training_step_loss_parity_vs_reference_source(tmp_path, loss_type, use_inv):
+    ref_model, task, params = _build_pair(loss_type, use_inv, tmp_path)
+
+    rng = np.random.default_rng(1)
+    query = rng.normal(size=(2, 3, IMG, IMG)).astype(np.float32)
+    reference = rng.normal(size=(2, 3, IMG, IMG)).astype(np.float32)
+    rel = rng.normal(size=(2, 6)).astype(np.float32)
+    rel_inv = rng.normal(size=(2, 6)).astype(np.float32)
+
+    batch_t = {
+        "query": torch.from_numpy(query),
+        "reference": torch.from_numpy(reference),
+        "relativeR": torch.from_numpy(rel),
+        "relativeR_inv": torch.from_numpy(rel_inv),
+    }
+    ref_model._shim_global_step = 1  # skip the step-0 visualize branch
+    with torch.no_grad():
+        want = float(ref_model.training_step_single_dataloader(batch_t, "toy"))
+
+    batch_j = {
+        "query": jnp.asarray(np.transpose(query, (0, 2, 3, 1))),
+        "reference": jnp.asarray(np.transpose(reference, (0, 2, 3, 1))),
+        "relativeR": jnp.asarray(rel),
+        "relativeR_inv": jnp.asarray(rel_inv),
+    }
+    with jax.default_matmul_precision("highest"):
+        got = float(task.train_loss(params, batch_j))
+
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_training_step_multi_dataset_average_vs_reference_source(tmp_path):
+    """training_step averages per-dataloader losses (model.py:169-182)."""
+    ref_model, task, params = _build_pair("l1", False, tmp_path)
+
+    rng = np.random.default_rng(2)
+
+    def mk():
+        return {
+            "query": rng.normal(size=(2, 3, IMG, IMG)).astype(np.float32),
+            "reference": rng.normal(size=(2, 3, IMG, IMG)).astype(np.float32),
+            "relativeR": rng.normal(size=(2, 6)).astype(np.float32),
+            "relativeR_inv": rng.normal(size=(2, 6)).astype(np.float32),
+        }
+
+    batches = {"a": mk(), "b": mk()}
+    t_batches = {
+        name: {k: torch.from_numpy(v) for k, v in b.items()}
+        for name, b in batches.items()
+    }
+    # training_step consults the trainer for warmup bookkeeping
+    ref_model.trainer = types.SimpleNamespace(global_step=200, optimizers=[])
+    ref_model._shim_global_step = 200
+    with torch.no_grad():
+        want = float(ref_model.training_step(t_batches, 0))
+
+    j_batches = {
+        name: {
+            "query": jnp.asarray(np.transpose(b["query"], (0, 2, 3, 1))),
+            "reference": jnp.asarray(np.transpose(b["reference"], (0, 2, 3, 1))),
+            "relativeR": jnp.asarray(b["relativeR"]),
+            "relativeR_inv": jnp.asarray(b["relativeR_inv"]),
+        }
+        for name, b in batches.items()
+    }
+    with jax.default_matmul_precision("highest"):
+        avg, losses = task.multi_dataset_loss(params, j_batches)
+    assert set(losses) == {"a", "b"}
+    np.testing.assert_allclose(float(avg), want, rtol=2e-5, atol=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# LR sequence parity (model.py:70-94 driven as Lightning drives it)
+# ---------------------------------------------------------------------------
+
+
+def _drive_reference_lr(base_lr, warm_up_steps, steps_per_epoch, total):
+    """Execute the real configure_optimizers + warm_up_lr exactly as the
+    Lightning loop would: warmup overwrite while global_step < warmup
+    (training_step, model.py:173-176), scheduler.step() per epoch."""
+    from src.model.model import PoseConditional
+
+    m = PoseConditional.__new__(PoseConditional)
+    torch.nn.Module.__init__(m)
+    m.u_net = torch.nn.Linear(2, 2)
+    m.lr = base_lr
+    m.weight_decay = 0.0
+    m.warm_up_steps = warm_up_steps
+    m.optim_name = "AdamW"
+    [opt], [sched] = m.configure_optimizers()
+    m.trainer = types.SimpleNamespace(optimizers=[opt])
+
+    lrs = []
+    for step in range(total):
+        m._shim_global_step = step
+        if step < warm_up_steps:
+            m.warm_up_lr()
+        lrs.append(opt.param_groups[0]["lr"])
+        if (step + 1) % steps_per_epoch == 0:
+            sched.step()
+    return np.array(lrs)
+
+
+@pytest.mark.parametrize(
+    "base_lr,warm_up,spe,total",
+    [
+        (1e-3, 25, 7, 400),     # milestones 10/30/50 fire after warmup
+        (1e-3, 500, 10, 1100),  # milestones 10/30 fire DURING warmup (lost)
+        (5e-5, 0, 50, 600),     # no warmup at all
+    ],
+)
+def test_lr_sequence_vs_reference_source(base_lr, warm_up, spe, total):
+    from nope_tpu.training.optim import make_lr_schedule
+
+    want = _drive_reference_lr(base_lr, warm_up, spe, total)
+    sched = make_lr_schedule(
+        base_lr=base_lr, warm_up_steps=warm_up,
+        milestones_epochs=(10, 30, 50, 100), gamma=0.5, steps_per_epoch=spe,
+    )
+    got = np.array([float(sched(s)) for s in range(total)])
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=0)

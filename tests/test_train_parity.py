@@ -104,26 +104,33 @@ def test_lr_schedule_matches_reference_recipe():
         milestones_epochs=(10, 30, 50, 100), gamma=0.5,
         steps_per_epoch=steps_per_epoch,
     )
+    # post-warmup base is the LAST warmup write: 499/500 * 5e-5 (the
+    # reference never restores base_lr — see make_lr_schedule docstring
+    # and tests/test_reference_train_parity.py for the driven proof)
+    post = 5e-5 * 499 / 500
     np.testing.assert_allclose(float(sched(0)), 0.0)
     np.testing.assert_allclose(float(sched(250)), 2.5e-5, rtol=1e-5)
-    np.testing.assert_allclose(float(sched(500)), 5e-5, rtol=1e-5)
-    np.testing.assert_allclose(float(sched(999)), 5e-5, rtol=1e-5)
-    np.testing.assert_allclose(float(sched(10 * steps_per_epoch)), 2.5e-5, rtol=1e-5)
-    np.testing.assert_allclose(float(sched(30 * steps_per_epoch)), 1.25e-5, rtol=1e-5)
-    np.testing.assert_allclose(float(sched(50 * steps_per_epoch)), 6.25e-6, rtol=1e-5)
-    np.testing.assert_allclose(float(sched(100 * steps_per_epoch)), 3.125e-6, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(500)), post, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(999)), post, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(10 * steps_per_epoch)), post * 0.5, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(30 * steps_per_epoch)), post * 0.25, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(50 * steps_per_epoch)), post * 0.125, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(100 * steps_per_epoch)), post * 0.0625, rtol=1e-5)
 
 
 def test_lr_schedule_milestones_inside_warmup():
-    """Milestones crossed during warmup must still compound: with
-    steps_per_epoch=10 and warmup=500, epochs 10/30/50 have all fired by
-    step 500, so the post-warmup LR is base * 0.5^3 (and *0.5^4 after
-    epoch 100)."""
+    """Milestones whose epoch ends during warmup are LOST: warm_up_lr
+    overwrites pg["lr"] every step < warm_up_steps, so only milestones
+    firing at-or-after warmup end survive.  With steps_per_epoch=10 and
+    warmup=500, epochs 10/30 (steps 100/300) are overwritten; epoch 50
+    (step 500, exactly at warmup end) and epoch 100 (step 1000) apply.
+    Driven-reference proof: tests/test_reference_train_parity.py."""
     sched = make_lr_schedule(
         base_lr=1e-3, warm_up_steps=500,
         milestones_epochs=(10, 30, 50, 100), gamma=0.5, steps_per_epoch=10,
     )
+    post = 1e-3 * 499 / 500
     np.testing.assert_allclose(float(sched(250)), 5e-4, rtol=1e-6)  # warmup wins
-    np.testing.assert_allclose(float(sched(500)), 1e-3 * 0.125, rtol=1e-6)
-    np.testing.assert_allclose(float(sched(999)), 1e-3 * 0.125, rtol=1e-6)
-    np.testing.assert_allclose(float(sched(1000)), 1e-3 * 0.0625, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(500)), post * 0.5, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(999)), post * 0.5, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(1000)), post * 0.25, rtol=1e-6)
