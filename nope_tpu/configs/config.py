@@ -70,7 +70,7 @@ class EncoderConfig:
     """Frozen feature encoder: SD-VAE (default) or the ResNet-50
     template encoder (configs/model/template_base.yaml)."""
 
-    kind: str = "vae"  # vae | template
+    kind: str = "vae"  # vae | template | template_tiny
     pretrained_path: Optional[str] = None
     latent_dim: int = 4
     using_KL: bool = False

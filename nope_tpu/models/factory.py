@@ -28,6 +28,10 @@ def build_encoder(cfg: EncoderConfig):
         return TemplateFeatureExtractor(
             descriptor_size=cfg.descriptor_size, normalize=cfg.normalize
         )
+    if cfg.kind == "template_tiny":
+        from nope_tpu.models.template_encoder import BaseFeatureExtractor
+
+        return BaseFeatureExtractor(descriptor_size=cfg.descriptor_size)
     raise ValueError(f"unknown encoder kind {cfg.kind!r}")
 
 

@@ -551,6 +551,19 @@ def port_template_encoder(
     }
 
 
+def port_base_feature_extractor(sd: StateDict) -> dict:
+    """``BaseFeatureExtractor`` state dict → flax params
+    (``encoder/base_template.py:78-100``): the tiny conv encoder is an
+    ``nn.Sequential`` named ``encoder`` with layer1 at index 0, layer2
+    at 2, and the 1x1 projector pair nested at 4.{0,2}."""
+    return {
+        "layer1": _conv(sd, "encoder.0"),
+        "layer2": _conv(sd, "encoder.2"),
+        "proj1": _conv(sd, "encoder.4.0"),
+        "proj2": _conv(sd, "encoder.4.2"),
+    }
+
+
 # ---------------------------------------------------------------------------
 # generic shape-filtered partial load (weight.py semantics)
 # ---------------------------------------------------------------------------

@@ -72,6 +72,30 @@ def test_template_encoder_task(rng):
     assert np.isfinite(float(loss))
 
 
+def test_template_tiny_encoder(rng):
+    """template_tiny = the reference's BaseFeatureExtractor conv stack
+    (base_template.py:78-100).  In the template-pose lineage it is a
+    standalone retrieval encoder (features scored directly, no U-Net;
+    its VALID convs give odd spatial dims the U-Net couldn't take)."""
+    from nope_tpu.models.factory import build_encoder
+    from nope_tpu.models.template_encoder import occlusion_aware_similarity
+
+    enc = build_encoder(EncoderConfig(kind="template_tiny", latent_dim=8,
+                                      descriptor_size=8))
+    q = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+    variables = enc.init(jax.random.key(0), q)
+    feat = enc.apply(variables, q)
+    # VALID 8x8/2 conv then VALID 5x5: (32-8)/2+1=13 -> 13-4=9
+    assert feat.shape == (2, 9, 9, 8)
+    # retrieval-style local cosine scoring with occlusion gating
+    f = feat.reshape(2, -1, 8)
+    sim = jnp.einsum("bnc,bnc->bn", f, f) / (
+        jnp.linalg.norm(f, axis=-1) ** 2 + 1e-8
+    )
+    gated = occlusion_aware_similarity(sim, threshold=0.2)
+    assert np.isfinite(np.asarray(gated)).all()
+
+
 def test_ldm_posencoding_with_indivisible_context_dim(rng):
     """The LDM variant supports posEncoding with context_dim not
     divisible by 6 (adapt_openaimodel.py:114-118 trims)."""

@@ -437,6 +437,135 @@ def _patched_adm_sequential(monkeypatch):
     monkeypatch.setattr(gd_unet.TimestepEmbedSequential, "forward", forward)
 
 
+# ---------------------------------------------------------------------------
+# template-encoder family (encoder/template.py, base_template.py, resnet.py)
+# ---------------------------------------------------------------------------
+
+
+def test_template_resnet50_encoder_vs_reference_source(rng):
+    """Full ResNet-50 template FeatureExtractor (encoder/template.py:24-53
+    + the reference's own resnet.py), ported weights, forward parity."""
+    from src.model.encoder.template import FeatureExtractor
+
+    from nope_tpu.models.template_encoder import TemplateFeatureExtractor
+    from nope_tpu.training import port
+
+    ref = _randomize(FeatureExtractor(descriptor_size=8, threshold=0.2, normalize=True))
+    with torch.no_grad():  # _randomize leaves BN stats at init; perturb them
+        for name, buf in ref.named_buffers():
+            if "running_var" in name:
+                buf.uniform_(0.5, 1.5)
+            elif "running_mean" in name:
+                buf.normal_(0, 0.05)
+    ref.eval()
+
+    mine = TemplateFeatureExtractor(descriptor_size=8, normalize=True)
+    ported = port.port_template_encoder(_sd(ref), layers=(3, 4, 6, 3))
+    template = mine.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))["params"]
+    port.assert_tree_shapes_match(ported, template)
+
+    x = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = ref.encode_image(torch.from_numpy(x)).numpy()
+    with jax.default_matmul_precision("highest"):
+        got = mine.apply(
+            {"params": jax.tree.map(jnp.asarray, ported)},
+            jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+            method=mine.encode_image,
+        )
+    got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+
+def test_base_feature_extractor_vs_reference_source(rng):
+    """The tiny standalone conv encoder (base_template.py:78-100).  The
+    reference base class's own forward() references the undefined
+    self.backbone, so the feature path is its ``encoder`` sequential."""
+    from src.model.encoder.base_template import BaseFeatureExtractor as RefBase
+
+    from nope_tpu.models.template_encoder import BaseFeatureExtractor
+    from nope_tpu.training import port
+
+    ref = _randomize(RefBase(descriptor_size=8, threshold=0.2))
+    with pytest.raises(AttributeError):  # pin the reference's broken forward
+        ref(torch.zeros(1, 3, 32, 32))
+
+    mine = BaseFeatureExtractor(descriptor_size=8)
+    ported = port.port_base_feature_extractor(_sd(ref))
+    template = mine.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))["params"]
+    port.assert_tree_shapes_match(ported, template)
+
+    x = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = ref.encoder(torch.from_numpy(x)).numpy()
+    with jax.default_matmul_precision("highest"):
+        got = mine.apply(
+            {"params": jax.tree.map(jnp.asarray, ported)},
+            jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+        )
+    got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_info_nce_extra_negatives_vs_reference_source(rng):
+    """InfoNCE with BOP↔ShapeNet extra-object negatives
+    (base_template.py:44-49) against the reference class.  The
+    ShapeNet_ShapeNet branch hard-codes .cuda() (base_template.py:55-57)
+    and cannot execute on this box — pinned, and our implementation is
+    checked against torch.nn.functional.cross_entropy directly."""
+    from src.model.encoder.base_template import InfoNCE as RefInfoNCE
+
+    from nope_tpu.models.template_encoder import info_nce_loss
+
+    b = 6
+    pos = rng.normal(size=(b, b)).astype(np.float32)
+    neg = rng.normal(size=(b, b)).astype(np.float32)
+    extra = rng.normal(size=(b, b)).astype(np.float32)
+
+    ref_loss = RefInfoNCE(tau=0.1, extra_contrast_type="BOP_ShapeNet")
+    want_pos, want_neg, want = ref_loss(
+        torch.from_numpy(pos), torch.from_numpy(neg), torch.from_numpy(extra)
+    )
+    got_pos, got_neg, got = info_nce_loss(
+        jnp.asarray(pos), jnp.asarray(neg), tau=0.1,
+        sim_extra_obj=jnp.asarray(extra), extra_contrast_type="BOP_ShapeNet",
+    )
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    np.testing.assert_allclose(float(got_pos), float(want_pos), rtol=1e-5)
+    np.testing.assert_allclose(float(got_neg), float(want_neg), rtol=1e-5)
+
+    # ShapeNet_ShapeNet: reference branch crashes on CPU (.cuda())
+    ref_ss = RefInfoNCE(tau=0.1, extra_contrast_type="ShapeNet_ShapeNet")
+    with pytest.raises(Exception):
+        ref_ss(torch.from_numpy(pos), torch.from_numpy(neg), torch.from_numpy(extra))
+
+    # semantics check vs torch cross_entropy on the documented layout
+    eye = torch.eye(b)
+    logits = (1 - eye) * torch.from_numpy(neg) + eye * torch.from_numpy(pos)
+    extra_logits = (1 - eye) * torch.from_numpy(extra) + eye * torch.from_numpy(pos)
+    full = torch.cat([logits, extra_logits], dim=0) / 0.1
+    labels = torch.cat([torch.arange(b), torch.arange(b)])
+    want_ss = torch.nn.functional.cross_entropy(full, labels)
+    _, _, got_ss = info_nce_loss(
+        jnp.asarray(pos), jnp.asarray(neg), tau=0.1,
+        sim_extra_obj=jnp.asarray(extra), extra_contrast_type="ShapeNet_ShapeNet",
+    )
+    np.testing.assert_allclose(float(got_ss), float(want_ss), rtol=1e-5)
+
+
+def test_occlusion_aware_similarity_vs_reference_source(rng):
+    from src.model.encoder.base_template import OcclusionAwareSimilarity
+
+    from nope_tpu.models.template_encoder import occlusion_aware_similarity
+
+    sim = rng.uniform(-1, 1, size=(4, 9)).astype(np.float32)
+    want = OcclusionAwareSimilarity(threshold=0.2)(torch.from_numpy(sim.copy())).numpy()
+    got = occlusion_aware_similarity(jnp.asarray(sim), threshold=0.2)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
 @pytest.mark.parametrize("resblock_updown", [False, True])
 def test_adm_adapter_vs_reference_source(rng, resblock_updown, _patched_adm_sequential):
     from src.model.u_net.guided_diffusion.adapt_u_net import UNetModelPose
