@@ -33,6 +33,9 @@ def main(argv=None):
     parser.add_argument("--config", default=None)
     parser.add_argument("--max-batches", type=int, default=None)
     parser.add_argument("--num-workers", type=int, default=0)
+    parser.add_argument("--renderer", default="auto",
+                        choices=("auto", "pyrender", "numpy"),
+                        help="depth backend: pyrender EGL or the numpy rasteriser")
     parser.add_argument("--chunk-size", type=int, default=None)
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
@@ -88,7 +91,8 @@ def main(argv=None):
             np.asarray(batch["template_poses"][0]),
             cad_paths,
         )
-        errors = evaluate_vsd_batch(frames, num_workers=args.num_workers)
+        errors = evaluate_vsd_batch(frames, num_workers=args.num_workers,
+                                    renderer_backend=args.renderer)
         all_errors.append(errors)
         logging.info("batch %d: mean top-1 vsd=%.3f", i, float(errors[:, 0].mean()))
 

@@ -21,6 +21,32 @@ import numpy as np
 import jax
 
 
+def _merge_across_processes(errors: np.ndarray, loss_sum: float, loss_count: int):
+    """All-gather per-process eval results so every process computes the
+    same global scores (the reference logs with ``sync_dist=True``,
+    ``model.py:184-191``).  Per-process image counts may differ
+    (disjoint loader shards), so rows are NaN-padded to the global max
+    before the gather and dropped after."""
+    from jax.experimental import multihost_utils
+
+    counts = np.asarray(
+        multihost_utils.process_allgather(np.asarray([errors.shape[0]]))
+    ).reshape(-1)
+    max_n = int(counts.max())
+    k = errors.shape[1] if errors.size else 5
+    padded = np.full((max_n, k), np.nan, dtype=np.float32)
+    padded[: errors.shape[0]] = errors
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    gathered = gathered.reshape(-1, k)
+    merged_errors = gathered[~np.isnan(gathered).any(axis=1)]
+    loss_stats = np.asarray(
+        multihost_utils.process_allgather(
+            np.asarray([loss_sum, float(loss_count)], dtype=np.float64)
+        )
+    ).reshape(-1, 2)
+    return merged_errors, float(loss_stats[:, 0].sum()), int(loss_stats[:, 1].sum())
+
+
 def evaluate_geodesic(
     task,
     params,
@@ -30,14 +56,23 @@ def evaluate_geodesic(
     tag: str = "eval",
     max_batches: Optional[int] = None,
     mesh=None,
+    sync_processes: bool = True,
 ) -> Dict[str, float]:
     """Run the geodesic eval over a loader; returns aggregated scores
     (mean over batches of accuracy, median over all errors, mean loss).
 
     With ``mesh`` (a (data, template) Mesh) the batch is sharded over
     the data axis and the template bank over the template axis, so the
-    N-template U-Net sweep spreads across chips."""
+    N-template U-Net sweep spreads across chips.
+
+    Under multi-process runs each process scores its own loader shard;
+    prediction/media files are rank-suffixed (``model.py:146,365``) and
+    with ``sync_processes`` the final scores are the all-gathered global
+    ones, identical on every process."""
     step_fn = jax.jit(task.eval_geodesic_step, static_argnames=("chunk_size",))
+    # rank-suffix all written artifacts so multi-host runs never collide
+    # on shared storage (reference model.py:146,365)
+    rank = jax.process_index()
 
     if mesh is not None:
         from nope_tpu.parallel.mesh import replicate, shard_eval_batch
@@ -93,7 +128,7 @@ def evaluate_geodesic(
         if save_dir is not None:
             os.makedirs(save_dir, exist_ok=True)
             np.savez(
-                os.path.join(save_dir, f"pred_{tag}_batch{i}.npz"),
+                os.path.join(save_dir, f"pred_{tag}_batch{i}_rank{rank}.npz"),
                 similarity=np.asarray(out["similarity"])[:valid],
                 nearest_idx=np.asarray(out["nearest_idx"])[:valid],
                 error_deg=np.asarray(out["error_deg"])[:valid],
@@ -118,7 +153,7 @@ def evaluate_geodesic(
                             unnormalize(batch["query"][:8]),
                             unnormalize(retrieved[:8]),
                         ],
-                        os.path.join(save_dir, f"retrieved_{tag}.png"),
+                        os.path.join(save_dir, f"retrieved_{tag}_rank{rank}.png"),
                     )
                 except Exception as e:
                     logging.warning("retrieval panel failed: %s", e)
@@ -131,10 +166,15 @@ def evaluate_geodesic(
         np.concatenate(all_errors, axis=0) if all_errors else np.zeros((0, 5))
     )  # (num_images, k)
     elapsed = time.perf_counter() - t0
+    loss_sum, loss_count = float(np.sum(losses)), len(losses)
+    if sync_processes and jax.process_count() > 1:
+        errors, loss_sum, loss_count = _merge_across_processes(
+            errors.astype(np.float32), loss_sum, loss_count
+        )
     scores: Dict[str, float] = {
-        "loss": float(np.mean(losses)) if losses else float("nan"),
+        "loss": loss_sum / loss_count if loss_count else float("nan"),
         "images_per_sec": n_items / elapsed if elapsed > 0 else 0.0,
-        "num_images": float(n_items),
+        "num_images": float(len(errors)),  # global after a merge
     }
     if len(errors):
         for k in (1, 3, 5):

@@ -94,17 +94,46 @@ def _render_depths(mesh, poses: np.ndarray, K: np.ndarray, img_size) -> List[np.
     return depths
 
 
-def vsd_frame_error(
-    frame: VSDFrame, delta: float = 15.0, tau: float = 20.0, cost_type: str = "step"
-) -> np.ndarray:
-    """(k,) VSD errors of one frame's retrieved poses."""
-    import cv2
-    import pyrender
+def make_renderer(cad_path: str, backend: str = "auto"):
+    """Renderer with the ``(poses, K, img_shape) -> [depth, ...]``
+    contract.  ``pyrender`` = GL offscreen (the reference's backend,
+    ``vsd.py:25-55``); ``numpy`` = the dependency-free z-buffer
+    rasteriser in :mod:`nope_tpu.evaluation.raster`; ``auto`` prefers
+    pyrender and falls back to numpy when GL/trimesh are unavailable."""
+    if backend not in ("auto", "pyrender", "numpy"):
+        raise ValueError(f"unknown renderer backend {backend!r}")
+    if backend in ("auto", "pyrender"):
+        try:
+            import pyrender
 
-    from nope_tpu.utils.mesh import load_mesh
+            from nope_tpu.utils.mesh import load_mesh
+
+            mesh = pyrender.Mesh.from_trimesh(load_mesh(cad_path))
+            return lambda poses, K, shape: _render_depths(mesh, poses, K, shape)
+        except ImportError:
+            if backend == "pyrender":
+                raise
+            logging.info("pyrender unavailable; using the numpy rasteriser")
+    from nope_tpu.evaluation.raster import NumpyDepthRenderer
+
+    return NumpyDepthRenderer.from_file(cad_path)
+
+
+def vsd_frame_error(
+    frame: VSDFrame,
+    delta: float = 15.0,
+    tau: float = 20.0,
+    cost_type: str = "step",
+    renderer=None,
+    renderer_backend: str = "auto",
+) -> np.ndarray:
+    """(k,) VSD errors of one frame's retrieved poses.  ``renderer`` may
+    inject any ``(poses, K, img_shape) -> [depth, ...]`` callable."""
+    import cv2
 
     depth_test = cv2.imread(frame.depth_path, -1) * frame.depth_scale
-    mesh = pyrender.Mesh.from_trimesh(load_mesh(frame.cad_path))
+    if renderer is None:
+        renderer = make_renderer(frame.cad_path, renderer_backend)
     K = np.asarray(frame.intrinsic, dtype=np.float64)
 
     k = frame.pred_poses.shape[0]
@@ -113,8 +142,8 @@ def vsd_frame_error(
     pred_poses = frame.pred_poses.copy()
     pred_poses[:, :3, 3] = gt_poses[:, :3, 3]
 
-    gt_depths = _render_depths(mesh, gt_poses, K, depth_test.shape)
-    pred_depths = _render_depths(mesh, pred_poses, K, depth_test.shape)
+    gt_depths = renderer(gt_poses, K, depth_test.shape)
+    pred_depths = renderer(pred_poses, K, depth_test.shape)
     return np.array(
         [
             vsd_error_from_depths(
@@ -130,16 +159,21 @@ def evaluate_vsd_batch(
     num_workers: int = 0,
     delta: float = 15.0,
     tau: float = 20.0,
+    renderer_backend: str = "auto",
 ) -> np.ndarray:
     """(num_frames, k) errors, optionally over a process pool
     (``model.py:513-524``)."""
     if num_workers and num_workers > 1:
         with multiprocessing.get_context("spawn").Pool(num_workers) as pool:
             results = pool.starmap(
-                vsd_frame_error, [(f, delta, tau) for f in frames]
+                vsd_frame_error,
+                [(f, delta, tau, "step", None, renderer_backend) for f in frames],
             )
     else:
-        results = [vsd_frame_error(f, delta, tau) for f in frames]
+        results = [
+            vsd_frame_error(f, delta, tau, renderer_backend=renderer_backend)
+            for f in frames
+        ]
     return np.stack(results, axis=0)
 
 

@@ -118,8 +118,11 @@ class Trainer:
             )
             if pred_rgb is None:
                 return
+            # rank-suffixed like the reference (model.py:146) so
+            # multi-host runs on shared storage never collide
             path = os.path.join(
-                self.cfg.save_dir, "media", f"reconst_step{step}.png"
+                self.cfg.save_dir, "media",
+                f"reconst_step{step}_rank{jax.process_index()}.png",
             )
             save_image_grid(
                 [

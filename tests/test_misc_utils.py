@@ -63,5 +63,5 @@ def test_trainer_media_logging(tmp_path, rng):
     batch = {"toy": {k: jnp.asarray(np.stack([Toy()[0][k], Toy()[1][k]]))
                      for k in ("query", "reference", "relativeR", "relativeR_inv")}}
     trainer._log_media(state, batch, step=7)
-    media = osp.join(cfg.save_dir, "media", "reconst_step7.png")
+    media = osp.join(cfg.save_dir, "media", "reconst_step7_rank0.png")
     assert osp.exists(media)

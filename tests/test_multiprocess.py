@@ -74,11 +74,62 @@ print(f"RESULT pid={pid} loss={loss:.6f}", flush=True)
 """
 
 
-@pytest.mark.skipif(
-    os.environ.get("NOPE_TPU_SKIP_MULTIPROCESS") == "1",
-    reason="multi-process test disabled",
+_EVAL_WORKER = r"""
+import os, sys, json
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1])
+save_dir = sys.argv[2]
+jax.distributed.initialize(
+    coordinator_address="localhost:{port}", num_processes=2, process_id=pid,
+    local_device_ids=list(range(4)),
 )
-def test_two_process_data_parallel_train_step(tmp_path):
+
+import numpy as np
+import jax.numpy as jnp
+
+from nope_tpu.models.unet import PoseUNet
+from nope_tpu.models.vae import StableDiffusionVAE
+from nope_tpu.tasks.pose_conditional import PoseConditionalTask, TaskConfig
+from nope_tpu.evaluation.geodesic import evaluate_geodesic
+from nope_tpu.geometry import rotations
+
+IMG, N, B = 32, 8, 2
+task = PoseConditionalTask(
+    PoseUNet(u_net_dim=8, channels=4, dim_mults=(1, 2), resnet_block_groups=4),
+    StableDiffusionVAE(block_out_channels=(8, 8, 8, 8), layers_per_block=1,
+                       latent_channels=4, groups=4),
+    TaskConfig(),
+)
+params = task.init(jax.random.key(0), image_size=IMG)
+
+grid = np.asarray(rotations.random_rotations(jax.random.key(5), N))
+def make_batch(seed):
+    rng = np.random.default_rng(seed)
+    gt = np.asarray(rotations.random_rotations(jax.random.key(seed), B))
+    rel6 = np.asarray(rotations.matrix_to_rotation_6d(jnp.asarray(gt)))
+    bank = np.asarray(rotations.matrix_to_rotation_6d(jnp.asarray(grid)))
+    return {
+        "query": rng.uniform(-1, 1, (B, IMG, IMG, 3)).astype(np.float32),
+        "reference": rng.uniform(-1, 1, (B, IMG, IMG, 3)).astype(np.float32),
+        "gt_relativeR": rel6.astype(np.float32),
+        "all_relativeR": np.tile(bank[None], (B, 1, 1)).astype(np.float32),
+        "query_pose": gt.astype(np.float32),
+        "template_poses": np.tile(grid[None], (B, 1, 1, 1)).astype(np.float32),
+        "symmetry": np.zeros(B, np.int32),
+    }
+
+# DISJOINT shards per process: rank0 scores batch seed 10, rank1 seed 20
+loader = [make_batch(10 + 10 * pid)]
+local = evaluate_geodesic(task, params, loader, save_dir=None, sync_processes=False)
+merged = evaluate_geodesic(task, params, loader, save_dir=save_dir,
+                           tag="mp", sync_processes=True)
+print("RESULT " + json.dumps({"pid": pid, "local": local, "merged": merged}), flush=True)
+"""
+
+
+def _run_workers(tmp_path, source, extra_args=()):
     import socket
 
     with socket.socket() as s:  # grab a free port; avoids collisions
@@ -86,12 +137,12 @@ def test_two_process_data_parallel_train_step(tmp_path):
         port = s.getsockname()[1]
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = tmp_path / "worker.py"
-    script.write_text(_WORKER.replace("{port}", str(port)))
+    script.write_text(source.replace("{port}", str(port)))
     env = dict(os.environ)
     env["PYTHONPATH"] = repo_root + ":" + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(pid)],
+            [sys.executable, str(script), str(pid), *extra_args],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
         )
         for pid in range(2)
@@ -107,11 +158,49 @@ def test_two_process_data_parallel_train_step(tmp_path):
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
-    losses = []
+    results = []
     for out in outs:
         lines = [l for l in out.splitlines() if l.startswith("RESULT")]
         assert lines, out[-2000:]
-        losses.append(float(lines[0].split("loss=")[1]))
+        results.append(lines[0][len("RESULT "):])
+    return results
+
+
+@pytest.mark.skipif(
+    os.environ.get("NOPE_TPU_SKIP_MULTIPROCESS") == "1",
+    reason="multi-process test disabled",
+)
+def test_two_process_data_parallel_train_step(tmp_path):
+    results = _run_workers(tmp_path, _WORKER)
+    losses = [float(r.split("loss=")[1]) for r in results]
     # data-parallel processes must agree on the global loss
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
     assert np.isfinite(losses).all()
+
+
+@pytest.mark.skipif(
+    os.environ.get("NOPE_TPU_SKIP_MULTIPROCESS") == "1",
+    reason="multi-process test disabled",
+)
+def test_two_process_eval_merges_scores_and_rank_suffixes(tmp_path):
+    """Each process evaluates a DISJOINT shard: merged scores must be
+    identical on both ranks (and differ from either local-only score),
+    prediction files must be rank-suffixed with no collisions."""
+    import json
+
+    save_dir = tmp_path / "preds"
+    results = [json.loads(r) for r in
+               _run_workers(tmp_path, _EVAL_WORKER, extra_args=(str(save_dir),))]
+    by_pid = {r["pid"]: r for r in results}
+
+    m0, m1 = by_pid[0]["merged"], by_pid[1]["merged"]
+    for key in ("loss", "top1, accuracy_15", "top1, median", "num_images"):
+        np.testing.assert_allclose(m0[key], m1[key], rtol=1e-6, err_msg=key)
+    assert m0["num_images"] == 4.0  # 2 images per process, merged
+    # shards are different data, so local medians differ from the merge
+    locals_ = [by_pid[p]["local"]["top1, median"] for p in (0, 1)]
+    assert not np.allclose(locals_[0], locals_[1])
+
+    files = sorted(os.listdir(save_dir))
+    assert "pred_mp_batch0_rank0.npz" in files
+    assert "pred_mp_batch0_rank1.npz" in files
