@@ -234,14 +234,58 @@ def apply_overrides(cfg: ExperimentConfig, overrides: List[str]) -> ExperimentCo
     return cfg
 
 
+def _deep_merge(base: dict, over: dict) -> dict:
+    """Recursive dict merge, ``over`` winning (the Hydra-defaults
+    analogue for ``include:`` composition)."""
+    out = dict(base)
+    for key, value in over.items():
+        if isinstance(value, dict) and isinstance(out.get(key), dict):
+            out[key] = _deep_merge(out[key], value)
+        else:
+            out[key] = value
+    return out
+
+
+def _load_yaml_tree(path: str) -> dict:
+    """Load a YAML file, resolving its ``include: [...]`` list first
+    (paths relative to the file; later includes and the file itself win).
+    Replaces the reference's 30-file Hydra ``defaults`` composition."""
+    import yaml
+
+    with open(path) as f:
+        data = yaml.safe_load(f) or {}
+    includes = data.pop("include", [])
+    if isinstance(includes, str):
+        includes = [includes]
+    merged: dict = {}
+    for inc in includes:
+        inc_path = inc if os.path.isabs(inc) else os.path.join(os.path.dirname(path), inc)
+        merged = _deep_merge(merged, _load_yaml_tree(inc_path))
+    return _deep_merge(merged, data)
+
+
+def _interpolate(node, variables: dict):
+    """Substitute ``${var}`` occurrences in string leaves (the subset of
+    OmegaConf interpolation the reference's data configs use:
+    ``${machine.root_dir}``)."""
+    if isinstance(node, dict):
+        return {k: _interpolate(v, variables) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_interpolate(v, variables) for v in node]
+    if isinstance(node, str):
+        for name, value in variables.items():
+            node = node.replace("${" + name + "}", str(value))
+        return node
+    return node
+
+
 def load_config(
     yaml_path: Optional[str] = None, overrides: Optional[List[str]] = None
 ) -> ExperimentConfig:
     if yaml_path is not None:
-        import yaml
-
-        with open(yaml_path) as f:
-            data = yaml.safe_load(f) or {}
+        data = _load_yaml_tree(yaml_path)
+        root = data.get("machine", {}).get("root_dir", MachineConfig().root_dir)
+        data = _interpolate(data, {"machine.root_dir": root})
         cfg = _from_dict(ExperimentConfig, data)
     else:
         cfg = ExperimentConfig()

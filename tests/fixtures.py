@@ -12,7 +12,8 @@ from nope_tpu.geometry import so3_grid
 N_QUERY, N_REF = 3, 2
 
 
-def make_shapenet_object(root, obj_id, rng, template_indexes, img_px=128):
+def make_shapenet_object(root, obj_id, rng, template_indexes, img_px=128,
+                         with_templates=True):
     obj_dir = osp.join(root, "images", f"obj_{obj_id:06d}")
     os.makedirs(obj_dir, exist_ok=True)
     grid = so3_grid.load_obj_poses(2)
@@ -35,8 +36,16 @@ def make_shapenet_object(root, obj_id, rng, template_indexes, img_px=128):
             osp.join(root, f"object_{kind}_poses", f"obj_{obj_id:06d}.npy"), poses(n)
         )
 
+    if not with_templates:
+        return
+    first = None
     for idx in template_indexes:
-        save_img(osp.join(obj_dir, f"templates_{idx:06d}.png"))
+        path = osp.join(obj_dir, f"templates_{idx:06d}.png")
+        if first is None:
+            save_img(path)
+            first = path
+        else:  # hardlink: full-grid template sets stay cheap to build
+            os.link(first, path)
     os.makedirs(osp.join(root, "object_template_poses"), exist_ok=True)
     template_poses = grid.copy()
     template_poses[:, :3, 3] *= 2.0
@@ -45,11 +54,96 @@ def make_shapenet_object(root, obj_id, rng, template_indexes, img_px=128):
     )
 
 
-def make_mini_shapenet(root, categories=("bottle", "airplane"), objects_per_cat=2,
-                       seed=0):
-    """Mini ShapeNet root with template images at the fast-eval indexes."""
+def make_mini_bop(root, n_frames=6, split="test", img_px=128, seed=0,
+                  cad_name="models"):
+    """Synthetic BOP-format dataset: one scene with rgb/mask/depth per
+    frame + scene_gt/scene_gt_info/scene_camera JSONs + a CAD stub."""
+    import json
+
     rng = np.random.default_rng(seed)
-    tidx = so3_grid.load_index_level0_in_level2("upper")
+    scene_dir = osp.join(root, split, "000001")
+    for sub in ("rgb", "mask", "mask_visib", "depth"):
+        os.makedirs(osp.join(scene_dir, sub), exist_ok=True)
+
+    grid = so3_grid.get_obj_poses_from_template_level(2, "upper")
+    K = [500.0, 0.0, 64.0, 0.0, 500.0, 64.0, 0.0, 0.0, 1.0]
+
+    scene_gt, scene_gt_info, scene_camera = {}, {}, {}
+    for f in range(n_frames):
+        pose = grid[rng.integers(0, len(grid))].copy()
+        pose[:3, 3] = [0.0, 0.0, 500.0]
+        scene_gt[str(f)] = [
+            {
+                "obj_id": 1,
+                "cam_R_m2c": pose[:3, :3].reshape(-1).tolist(),
+                "cam_t_m2c": pose[:3, 3].tolist(),
+            }
+        ]
+        scene_gt_info[str(f)] = [
+            {"visib_fract": 1.0 if f < n_frames - 1 else 0.5,
+             "bbox_obj": [0, 0, 10, 10], "bbox_visib": [0, 0, 10, 10]}
+        ]
+        scene_camera[str(f)] = {"cam_K": K, "depth_scale": 0.1}
+
+        img = rng.integers(0, 255, (img_px, img_px, 3), dtype=np.uint8)
+        Image.fromarray(img).save(osp.join(scene_dir, "rgb", f"{f:06d}.png"))
+        mask = np.full((img_px, img_px), 255, np.uint8)
+        Image.fromarray(mask).save(osp.join(scene_dir, "mask", f"{f:06d}_000000.png"))
+        Image.fromarray(mask).save(
+            osp.join(scene_dir, "mask_visib", f"{f:06d}_000000.png")
+        )
+        depth = rng.integers(4000, 6000, (img_px, img_px), dtype=np.uint16)
+        Image.fromarray(depth).save(osp.join(scene_dir, "depth", f"{f:06d}.png"))
+
+    for name, obj in (
+        ("scene_gt", scene_gt),
+        ("scene_gt_info", scene_gt_info),
+        ("scene_camera", scene_camera),
+    ):
+        with open(osp.join(scene_dir, name + ".json"), "w") as fp:
+            json.dump(obj, fp)
+
+    cad_dir = osp.join(root, "models", cad_name)
+    os.makedirs(cad_dir, exist_ok=True)
+    with open(osp.join(cad_dir, "obj_000001.ply"), "w") as fp:
+        fp.write("ply\n")  # placeholder; meshes gated behind trimesh
+    with open(osp.join(cad_dir, "models_info.json"), "w") as fp:
+        json.dump({"1": {"diameter": 100.0}}, fp)
+    return root
+
+
+def make_mini_objaverse(root, n_objects=2, img_px=64, seed=0):
+    """Synthetic Objaverse root: 10 RGBA renders per object +
+    (10, 4, 4) pose arrays, the layout objaverse.py expects."""
+    rng = np.random.default_rng(seed)
+    grid = so3_grid.load_obj_poses(2)
+    os.makedirs(osp.join(root, "object_poses"), exist_ok=True)
+    for obj_id in range(n_objects):
+        obj_dir = osp.join(root, "images", f"obj_{obj_id:06d}")
+        os.makedirs(obj_dir, exist_ok=True)
+        poses = grid[rng.integers(0, len(grid), 10)].copy()
+        poses[:, :3, 3] *= 2.0
+        np.save(osp.join(root, "object_poses", f"obj_{obj_id:06d}.npy"), poses)
+        for k in range(10):
+            arr = rng.integers(0, 255, (img_px, img_px, 4), dtype=np.uint8)
+            arr[..., 3] = (arr[..., 0] > 64) * 255
+            Image.fromarray(arr, "RGBA").save(osp.join(obj_dir, f"{k}.png"))
+    return root
+
+
+def make_mini_shapenet(root, categories=("bottle", "airplane"), objects_per_cat=2,
+                       seed=0, img_px=128, with_templates=True,
+                       template_set="fast"):
+    """Mini ShapeNet root with template images at the fast-eval indexes
+    (``template_set="full"`` links images for the whole level-2 grid,
+    which the training reference pool samples from)."""
+    rng = np.random.default_rng(seed)
+    if template_set == "full":
+        tidx, _ = so3_grid.get_obj_poses_from_template_level(
+            2, "upper", return_index=True
+        )
+    else:
+        tidx = so3_grid.load_index_level0_in_level2("upper")
     cad_names = [
         f"{SHAPENET_CAT2ID[cat]}_cad{j}"
         for cat in categories
@@ -59,7 +153,8 @@ def make_mini_shapenet(root, categories=("bottle", "airplane"), objects_per_cat=
     with open(osp.join(root, "cad_names.txt"), "w") as f:
         f.write("\n".join(cad_names) + "\n")
     for obj_id in range(len(cad_names)):
-        make_shapenet_object(root, obj_id, rng, tidx)
+        make_shapenet_object(root, obj_id, rng, tidx, img_px=img_px,
+                             with_templates=with_templates)
     return root
 
 

@@ -17,58 +17,9 @@ N_FRAMES = 6
 
 @pytest.fixture(scope="module")
 def mini_bop(tmp_path_factory):
-    root = str(tmp_path_factory.mktemp("bop"))
-    rng = np.random.default_rng(0)
-    scene_dir = osp.join(root, "test", "000001")
-    for sub in ("rgb", "mask", "mask_visib", "depth"):
-        os.makedirs(osp.join(scene_dir, sub))
+    from tests.fixtures import make_mini_bop
 
-    # upper-hemisphere grid poses in mm at ~500mm distance
-    grid = so3_grid.get_obj_poses_from_template_level(2, "upper")
-    K = [500.0, 0.0, 64.0, 0.0, 500.0, 64.0, 0.0, 0.0, 1.0]
-
-    scene_gt, scene_gt_info, scene_camera = {}, {}, {}
-    for f in range(N_FRAMES):
-        pose = grid[rng.integers(0, len(grid))].copy()
-        pose[:3, 3] = [0.0, 0.0, 500.0]
-        scene_gt[str(f)] = [
-            {
-                "obj_id": 1,
-                "cam_R_m2c": pose[:3, :3].reshape(-1).tolist(),
-                "cam_t_m2c": pose[:3, 3].tolist(),
-            }
-        ]
-        scene_gt_info[str(f)] = [
-            {"visib_fract": 1.0 if f < N_FRAMES - 1 else 0.5,
-             "bbox_obj": [0, 0, 10, 10], "bbox_visib": [0, 0, 10, 10]}
-        ]
-        scene_camera[str(f)] = {"cam_K": K, "depth_scale": 0.1}
-
-        img = rng.integers(0, 255, (128, 128, 3), dtype=np.uint8)
-        Image.fromarray(img).save(osp.join(scene_dir, "rgb", f"{f:06d}.png"))
-        mask = np.full((128, 128), 255, np.uint8)
-        Image.fromarray(mask).save(osp.join(scene_dir, "mask", f"{f:06d}_000000.png"))
-        Image.fromarray(mask).save(
-            osp.join(scene_dir, "mask_visib", f"{f:06d}_000000.png")
-        )
-        depth = rng.integers(4000, 6000, (128, 128), dtype=np.uint16)
-        Image.fromarray(depth).save(osp.join(scene_dir, "depth", f"{f:06d}.png"))
-
-    for name, obj in (
-        ("scene_gt", scene_gt),
-        ("scene_gt_info", scene_gt_info),
-        ("scene_camera", scene_camera),
-    ):
-        with open(osp.join(scene_dir, name + ".json"), "w") as fp:
-            json.dump(obj, fp)
-
-    cad_dir = osp.join(root, "models", "models")
-    os.makedirs(cad_dir)
-    with open(osp.join(cad_dir, "obj_000001.ply"), "w") as fp:
-        fp.write("ply\n")  # placeholder; meshes gated behind trimesh
-    with open(osp.join(cad_dir, "models_info.json"), "w") as fp:
-        json.dump({"1": {"diameter": 100.0}}, fp)
-    return root
+    return make_mini_bop(str(tmp_path_factory.mktemp("bop")), n_frames=N_FRAMES)
 
 
 def test_bop_training_items(mini_bop):
