@@ -183,6 +183,66 @@ class BaseBOP:
                     )
         return rows
 
+    def check_scene(
+        self,
+        scene_id: str,
+        save_path: str,
+        n_frames: int = 5,
+        points_per_object: int = 500,
+        seed: int = 0,
+    ) -> List[str]:
+        """Debug scene visualization (``baseBOP.py:309-343``): project
+        area-sampled CAD surface points through each instance's GT pose
+        onto random frames of a scene, one color per object.  Uses
+        trimesh meshes when loaded, else the dependency-free loader in
+        :mod:`nope_tpu.evaluation.raster`.  Returns the written paths."""
+        import cv2
+
+        from nope_tpu.evaluation import raster
+
+        os.makedirs(save_path, exist_ok=True)
+        rng = np.random.default_rng(seed)
+        scene = self.metaData[self.metaData["scene_id"] == scene_id]
+        if not len(scene):
+            raise ValueError(f"no metaData rows for scene {scene_id!r}")
+        frame_ids = sorted(set(int(f) for f in scene["frame_id"].values))
+        chosen = rng.choice(
+            frame_ids, size=min(n_frames, len(frame_ids)), replace=False
+        )
+        colors = {
+            cad_id: tuple(int(c) for c in rng.integers(0, 254, 3))
+            for cad_id in self.cads
+        }
+        written: List[str] = []
+        for frame_id in chosen:
+            fd = scene[scene["frame_id"] == int(frame_id)]
+            img = cv2.imread(str(fd["rgb_path"].values[0]))
+            K = np.asarray(fd["intrinsic"].values[0], dtype=np.float64).reshape(3, 3)
+            h, w = img.shape[:2]
+            for _, row in fd.iterrows():
+                cad = self.cads[int(row["obj_id"])]
+                if cad.get("mesh") is not None:
+                    import trimesh
+
+                    pts = trimesh.sample.sample_surface(
+                        cad["mesh"], points_per_object
+                    )[0]
+                else:
+                    verts, faces = raster.load_mesh_arrays(cad["cad_path"])
+                    pts = raster.sample_surface(verts, faces, points_per_object, rng)
+                pose = np.asarray(row["pose"], dtype=np.float64).reshape(4, 4)
+                cam = pts @ pose[:3, :3].T + pose[:3, 3]
+                front = cam[:, 2] > 1e-6
+                uv = cam[front] @ K.T
+                uv = (uv[:, :2] / uv[:, 2:3]).astype(int)
+                for u, v in uv:
+                    if 0 <= u < w and 0 <= v < h:
+                        cv2.circle(img, (int(u), int(v)), 1, colors[int(row["obj_id"])], -1)
+            out = osp.join(save_path, f"{scene_id}_{int(frame_id)}.png")
+            cv2.imwrite(out, img)
+            written.append(out)
+        return written
+
     # -- CAD models ---------------------------------------------------------------
 
     def load_cad(self, cad_name: str = "models") -> Dict[int, Dict]:

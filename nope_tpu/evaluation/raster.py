@@ -227,6 +227,27 @@ def rasterize_depth(
     return depth
 
 
+def sample_surface(
+    vertices: np.ndarray, faces: np.ndarray, n: int, rng=None
+) -> np.ndarray:
+    """(n, 3) area-weighted uniform surface samples (the trimesh
+    ``sample_surface`` analogue, dependency-free)."""
+    rng = np.random.default_rng() if rng is None else rng
+    tri = np.asarray(vertices)[np.asarray(faces)]  # (F, 3, 3)
+    areas = 0.5 * np.linalg.norm(
+        np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=1
+    )
+    total = areas.sum()
+    probs = np.full(len(areas), 1.0 / len(areas)) if total <= 0 else areas / total
+    idx = rng.choice(len(tri), size=n, p=probs)
+    u = rng.uniform(size=n)
+    v = rng.uniform(size=n)
+    flip = u + v > 1.0
+    u[flip], v[flip] = 1.0 - u[flip], 1.0 - v[flip]
+    t = tri[idx]
+    return t[:, 0] + u[:, None] * (t[:, 1] - t[:, 0]) + v[:, None] * (t[:, 2] - t[:, 0])
+
+
 class NumpyDepthRenderer:
     """Injectable renderer with the ``vsd._render_depths`` contract:
     ``renderer(poses, K, img_shape) -> [depth, ...]``."""

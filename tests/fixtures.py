@@ -54,8 +54,25 @@ def make_shapenet_object(root, obj_id, rng, template_indexes, img_px=128,
     )
 
 
+def write_ascii_ply_box(path, extents=(60.0, 80.0, 100.0)):
+    """A real (ascii) PLY box CAD, loadable by evaluation.raster."""
+    from nope_tpu.evaluation.raster import box_mesh
+
+    verts, faces = box_mesh(extents)
+    with open(path, "w") as fh:
+        fh.write("ply\nformat ascii 1.0\n")
+        fh.write(f"element vertex {len(verts)}\n")
+        fh.write("property float x\nproperty float y\nproperty float z\n")
+        fh.write(f"element face {len(faces)}\n")
+        fh.write("property list uchar int vertex_indices\nend_header\n")
+        for v in verts:
+            fh.write(f"{v[0]} {v[1]} {v[2]}\n")
+        for f in faces:
+            fh.write(f"3 {f[0]} {f[1]} {f[2]}\n")
+
+
 def make_mini_bop(root, n_frames=6, split="test", img_px=128, seed=0,
-                  cad_name="models"):
+                  cad_name="models", real_cad=False):
     """Synthetic BOP-format dataset: one scene with rgb/mask/depth per
     frame + scene_gt/scene_gt_info/scene_camera JSONs + a CAD stub."""
     import json
@@ -105,8 +122,11 @@ def make_mini_bop(root, n_frames=6, split="test", img_px=128, seed=0,
 
     cad_dir = osp.join(root, "models", cad_name)
     os.makedirs(cad_dir, exist_ok=True)
-    with open(osp.join(cad_dir, "obj_000001.ply"), "w") as fp:
-        fp.write("ply\n")  # placeholder; meshes gated behind trimesh
+    if real_cad:
+        write_ascii_ply_box(osp.join(cad_dir, "obj_000001.ply"))
+    else:
+        with open(osp.join(cad_dir, "obj_000001.ply"), "w") as fp:
+            fp.write("ply\n")  # placeholder; meshes gated behind trimesh
     with open(osp.join(cad_dir, "models_info.json"), "w") as fp:
         json.dump({"1": {"diameter": 100.0}}, fp)
     return root

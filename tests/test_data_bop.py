@@ -133,3 +133,29 @@ def test_bop_cli_end_to_end_with_mock_renderer(mini_bop, tmp_path, monkeypatch, 
     assert "top 1, vsd_scores 0.3" in scores
     assert "top 5, vsd_median" in scores
     assert np.isfinite(list(scores.values())).all()
+
+
+def test_check_scene_debug_visualization(tmp_path):
+    """check_scene (baseBOP.py:309-343): project sampled CAD points onto
+    random frames; runs without trimesh via the raster loaders."""
+    from tests.fixtures import make_mini_bop
+
+    root = make_mini_bop(str(tmp_path / "bop"), n_frames=4, real_cad=True)
+    ds = BOPDataset(
+        root_dir=root, template_dir=None, split="test", obj_ids=[1],
+        img_size=IMG, reset_metaData=True, isTesting=True,
+    )
+    out_dir = tmp_path / "viz"
+    written = ds.check_scene("000001", str(out_dir), n_frames=2)
+    assert len(written) == 2
+    for path in written:
+        assert osp.exists(path)
+        img = np.asarray(Image.open(path))
+        assert img.shape[:2] == (128, 128)
+    # the projected points must actually mark pixels: the two written
+    # frames differ from the raw rgb
+    raw = np.asarray(
+        Image.open(osp.join(root, "test", "000001", "rgb", "000000.png"))
+    )
+    drawn = np.asarray(Image.open(written[0]))
+    assert (raw.shape == drawn.shape) and (raw != drawn).any()

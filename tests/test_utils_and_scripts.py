@@ -172,3 +172,54 @@ def test_build_vsd_frames_schema():
     )
     np.testing.assert_allclose(frames[1].gt_pose[:3, :3], grid[1])
     assert frames[1].cad_path == "/m2.ply"
+
+
+def test_blender_objaverse_pose_math():
+    """Raw-Blender renderer math (blender_objaverse.py:12-54): the
+    closed-form OpenCV→Blender conversion must match the reference's
+    step-by-step Matrix recipe, and inverse_transform must invert."""
+    from scipy.spatial.transform import Rotation
+
+    from nope_tpu.scripts.blender_objaverse import (
+        inverse_transform,
+        kinect_focal_px,
+        light_rig_positions,
+        object_poses_to_blender_cam,
+        opencv_cam2world_to_blender,
+    )
+
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        pose = np.eye(4)
+        pose[:3, :3] = Rotation.random(random_state=rng).as_matrix()
+        pose[:3, 3] = rng.normal(size=3)
+
+        inv = inverse_transform(pose)
+        np.testing.assert_allclose(inv @ pose, np.eye(4), atol=1e-12)
+
+        # reference's step sequence (blender_objaverse.py:24-54), numpy
+        C = np.diag([1.0, -1.0, -1.0])
+        cam_loc = pose[:3, 3]
+        cv_w2c_rot = pose[:3, :3].T
+        cv_translation = -cv_w2c_rot @ cam_loc
+        b_w2c_rot = C @ cv_w2c_rot
+        b_translation = C @ cv_translation
+        b_c2w_rot = b_w2c_rot.T
+        b_cam_loc = -b_c2w_rot @ b_translation
+        want = np.eye(4)
+        want[:3, :3] = b_c2w_rot
+        want[:3, 3] = b_cam_loc
+
+        got = opencv_cam2world_to_blender(pose)
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    obj_poses = np.stack([pose, pose])
+    blender = object_poses_to_blender_cam(obj_poses)
+    assert blender.shape == (2, 4, 4)
+    # camera location in the object frame: -R^T t of the object pose
+    np.testing.assert_allclose(
+        blender[0][:3, 3], -pose[:3, :3].T @ pose[:3, 3], atol=1e-12
+    )
+
+    assert kinect_focal_px(512) == 525.0
+    assert len(light_rig_positions()) == 8
