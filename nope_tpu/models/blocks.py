@@ -47,17 +47,29 @@ class Block(nn.Module):
 class ResnetBlock(nn.Module):
     """Two Blocks with an *additive* conditioning embedding between them
     (``model_utils.py:256-279``): ``h = block1(x); h += SiLU→Dense(emb);
-    h = block2(h); return h + res_conv(x)``."""
+    h = block2(h); return h + res_conv(x)``.
+
+    ``fused=True`` routes the whole block through the Pallas fused
+    kernel on TPU (:mod:`nope_tpu.ops.fused_resnet`): one VMEM-resident
+    program instead of XLA materialising every conv/GroupNorm
+    intermediate in HBM.  The parameter tree is identical in both modes
+    (init always runs the module path); gradients flow through an exact
+    XLA-recompute VJP."""
 
     dim_out: int
     groups: int = 8
     use_conditioning: bool = True
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, cond_emb: Optional[jax.Array] = None) -> jax.Array:
-        h = Block(self.dim_out, groups=self.groups, name="block1")(x)
+        emb = None
         if self.use_conditioning and cond_emb is not None:
             emb = nn.Dense(self.dim_out, name="mlp_dense")(nn.silu(cond_emb))
+        if self.fused and not self.is_initializing():
+            return self._apply_fused(x, emb)
+        h = Block(self.dim_out, groups=self.groups, name="block1")(x)
+        if emb is not None:
             h = h + emb[:, None, None, :]
         h = Block(self.dim_out, groups=self.groups, name="block2")(h)
         if x.shape[-1] != self.dim_out:
@@ -65,6 +77,25 @@ class ResnetBlock(nn.Module):
         else:
             res = x
         return h + res
+
+    def _apply_fused(self, x: jax.Array, emb: Optional[jax.Array]) -> jax.Array:
+        from nope_tpu.ops.fused_resnet import fused_resnet_block
+
+        p = self.variables["params"]
+        kernel_params = {
+            "w1": p["block1"]["proj"]["kernel"],
+            "b1": p["block1"]["proj"]["bias"],
+            "g1": p["block1"]["norm"]["scale"],
+            "be1": p["block1"]["norm"]["bias"],
+            "w2": p["block2"]["proj"]["kernel"],
+            "b2": p["block2"]["proj"]["bias"],
+            "g2": p["block2"]["norm"]["scale"],
+            "be2": p["block2"]["norm"]["bias"],
+        }
+        if "res_conv" in p:
+            kernel_params["res_w"] = p["res_conv"]["kernel"]
+            kernel_params["res_b"] = p["res_conv"]["bias"]
+        return fused_resnet_block(x, emb, kernel_params, groups=self.groups)
 
 
 class ConditionalResnetBlock(nn.Module):

@@ -54,6 +54,11 @@ class PoseUNet(nn.Module):
     use_hard_up_down: bool = True
     double_bottleneck: bool = True
     fused_attention: bool = False  # Pallas linear-attention inner (TPU)
+    # fused ResnetBlock Pallas kernel (TPU): whole conv+GN+SiLU chain in
+    # one VMEM-resident program; applied to blocks whose weights fit
+    # VMEM (dim_out <= fused_resnet_max_channels)
+    fused_resnet: bool = False
+    fused_resnet_max_channels: int = 512
     remat: bool = False  # rematerialize ResnetBlocks (memory ↓, FLOPs ↑)
     out_dim: int | None = None
 
@@ -73,6 +78,9 @@ class PoseUNet(nn.Module):
         # util the reference vendors but never enables)
         block_klass = nn.remat(ResnetBlock) if self.remat else ResnetBlock
 
+        def fuse(dim_out: int) -> bool:
+            return self.fused_resnet and dim_out <= self.fused_resnet_max_channels
+
         c = PoseMLP(classes_dim, kind=self.pose_mlp_name, name="pose_mlp")(pose)
 
         x = nn.Conv(init_dim, (3, 3), padding=1, name="init_conv")(x)
@@ -82,9 +90,11 @@ class PoseUNet(nn.Module):
         num_resolutions = len(in_out)
         for ind, (dim_in, dim_out) in enumerate(in_out):
             is_last = ind >= num_resolutions - 1
-            x = block_klass(dim_in, groups=groups, name=f"downs_{ind}_block1")(x, c)
+            x = block_klass(dim_in, groups=groups, fused=fuse(dim_in),
+                            name=f"downs_{ind}_block1")(x, c)
             hs.append(x)
-            x = block_klass(dim_in, groups=groups, name=f"downs_{ind}_block2")(x, c)
+            x = block_klass(dim_in, groups=groups, fused=fuse(dim_in),
+                            name=f"downs_{ind}_block2")(x, c)
             x = ResidualPreNormAttention(
                 linear=True, fused=self.fused_attention, name=f"downs_{ind}_attn"
             )(x)
@@ -95,9 +105,11 @@ class PoseUNet(nn.Module):
                 x = down_klass(dim_out, name=f"downs_{ind}_down")(x)
 
         mid_dim = dims[-1]
-        mid_block1 = block_klass(mid_dim, groups=groups, name="mid_block1")
+        mid_block1 = block_klass(mid_dim, groups=groups, fused=fuse(mid_dim),
+                                 name="mid_block1")
         mid_attn = ResidualPreNormAttention(linear=False, name="mid_attn")
-        mid_block2 = block_klass(mid_dim, groups=groups, name="mid_block2")
+        mid_block2 = block_klass(mid_dim, groups=groups, fused=fuse(mid_dim),
+                                 name="mid_block2")
 
         passes = 2 if self.double_bottleneck else 1
         for _ in range(passes):  # u_net.py:177-183 runs the bottleneck twice
@@ -108,9 +120,11 @@ class PoseUNet(nn.Module):
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = ind == len(in_out) - 1
             x = jnp.concatenate((x, hs.pop()), axis=-1)
-            x = block_klass(dim_out, groups=groups, name=f"ups_{ind}_block1")(x, c)
+            x = block_klass(dim_out, groups=groups, fused=fuse(dim_out),
+                            name=f"ups_{ind}_block1")(x, c)
             x = jnp.concatenate((x, hs.pop()), axis=-1)
-            x = block_klass(dim_out, groups=groups, name=f"ups_{ind}_block2")(x, c)
+            x = block_klass(dim_out, groups=groups, fused=fuse(dim_out),
+                            name=f"ups_{ind}_block2")(x, c)
             x = ResidualPreNormAttention(
                 linear=True, fused=self.fused_attention, name=f"ups_{ind}_attn"
             )(x)
@@ -120,9 +134,11 @@ class PoseUNet(nn.Module):
                 x = up_klass(dim_in, name=f"ups_{ind}_up")(x)
 
         x = jnp.concatenate((x, r), axis=-1)
-        x = block_klass(self.u_net_dim, groups=groups, name="final_res_block")(x, c)
+        x = block_klass(self.u_net_dim, groups=groups, fused=fuse(self.u_net_dim),
+                        name="final_res_block")(x, c)
         x = ResnetBlock(
-            self.u_net_dim, groups=groups, use_conditioning=False, name="final_conv_block"
+            self.u_net_dim, groups=groups, use_conditioning=False,
+            fused=fuse(self.u_net_dim), name="final_conv_block"
         )(x)
         out_dim = self.out_dim if self.out_dim is not None else self.channels
         return nn.Conv(out_dim, (1, 1), name="final_conv_out")(x)
