@@ -32,7 +32,7 @@ class TestingConfig:
     similarity_metric: str = "l2"  # the reference quirk metric
     retrieval_k: int = 5
     fast_evaluation: bool = True
-    half_precision_eval: bool = False  # bf16 bank+retrieval (~+15% tput)
+    half_precision_eval: bool = True  # bf16 bank+retrieval (+26% tput; guardrail-tested)
 
 
 @dataclass

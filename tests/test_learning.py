@@ -52,7 +52,7 @@ def test_training_improves_retrieval(procedural_root):
             block_out_channels=(16, 16, 16, 16), layers_per_block=1,
             latent_channels=4, groups=8,
         ),
-        TaskConfig(),
+        TaskConfig(half_precision_eval=False),  # fp32 anchor for the guardrail
     )
     tx = make_optimizer(base_lr=2e-3, warm_up_steps=10)
     state = create_train_state(task, tx, jax.random.key(0), image_size=IMG)
@@ -104,6 +104,29 @@ def test_training_improves_retrieval(procedural_root):
     assert loss_after < 0.7 * loss_before
     # retrieval must be meaningfully better than the untrained model
     assert med_after < med_before
+
+    # ---- bf16 inference guardrail (VERDICT round-1 #3): on the trained
+    # model, half-precision eval must match fp32 retrieval within
+    # protocol noise — this is what licenses the bf16 headline bench
+    params = {"unet": state.unet_params, "vae": state.vae_params}
+    bf16_task = PoseConditionalTask(
+        task.unet, task.vae, dataclasses.replace(task.config, half_precision_eval=True)
+    )
+    out_fp32 = eval_fn(params, eval_batch)
+    out_bf16 = jax.jit(bf16_task.eval_geodesic_step)(params, eval_batch)
+
+    idx_fp32 = np.asarray(out_fp32["nearest_idx"])
+    idx_bf16 = np.asarray(out_bf16["nearest_idx"])
+    top1_agree = float(np.mean(idx_fp32[:, 0] == idx_bf16[:, 0]))
+    err_fp32 = np.asarray(out_fp32["errors_topk"])[:, 0]
+    err_bf16 = np.asarray(out_bf16["errors_topk"])[:, 0]
+    acc15_fp32 = float(np.mean(err_fp32 <= 15.0))
+    acc15_bf16 = float(np.mean(err_bf16 <= 15.0))
+    print(f"bf16 guardrail: top1 agreement {top1_agree:.2f}, "
+          f"Acc@15 {acc15_fp32:.2f} vs {acc15_bf16:.2f}")
+    # one item of disagreement is the protocol noise floor here
+    assert top1_agree >= 1.0 - 1.0 / len(err_fp32) - 1e-9
+    assert abs(acc15_fp32 - acc15_bf16) <= 1.0 / len(err_fp32) + 1e-9
 
 
 def _invert_6d(d6):

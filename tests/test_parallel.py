@@ -134,3 +134,43 @@ def test_sharded_eval_with_committed_params_and_ragged_tail(task_and_params, rng
     scores = evaluate_geodesic(task, params, [batch(2), batch(1)], mesh=mesh)
     assert scores["num_images"] == 3.0
     assert np.isfinite(scores["top1, median"])
+
+
+def test_bank_generation_hlo_is_partitioned(task_and_params, rng):
+    """The compiled (post-SPMD) HLO must carry PER-DEVICE shapes for the
+    template sweep: the flat U-Net latent batch appears as
+    (b*n)/n_devices, never the full b*n — proof the bank compute is
+    actually distributed, not replicated (VERDICT round-1 item #8)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from nope_tpu.parallel.mesh import DATA_AXIS, TEMPLATE_AXIS
+
+    task, params = task_and_params
+    b, n = 4, 16
+    mesh = create_mesh(data=4, template=2)
+    n_devices = 8
+
+    reference = jnp.asarray(rng.uniform(-1, 1, (b, IMG, IMG, 3)).astype(np.float32))
+    query = jnp.asarray(rng.uniform(-1, 1, (b, IMG, IMG, 3)).astype(np.float32))
+    bank_R = rotations.matrix_to_rotation_6d(
+        rotations.random_rotations(jax.random.key(1), b * n)
+    ).reshape(b, n, 6)
+
+    def eval_fn(params, reference, query, bank_R):
+        bank = task.generate_template_bank(params, reference, bank_R)
+        return task.retrieval(params, query, bank)
+
+    jitted = jax.jit(
+        eval_fn,
+        in_shardings=(
+            NamedSharding(mesh, P()),
+            NamedSharding(mesh, P(DATA_AXIS)),
+            NamedSharding(mesh, P(DATA_AXIS)),
+            NamedSharding(mesh, P(DATA_AXIS, TEMPLATE_AXIS)),
+        ),
+    )
+    hlo = jitted.lower(params, reference, query, bank_R).compile().as_text()
+    shard_flat = b * n // n_devices  # 8
+    full_flat = b * n  # 64
+    assert f"f32[{shard_flat},4,4," in hlo, "no per-shard latent operand in HLO"
+    assert f"f32[{full_flat},4,4," not in hlo, "full-size latent operand: replicated sweep"
