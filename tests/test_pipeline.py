@@ -153,3 +153,28 @@ def test_grain_loader_adapter():
     assert len(batches) == 5
     seen = sorted(float(b["x"][i, 0]) for b in batches for i in range(2))
     assert seen == [float(i) for i in range(10)]
+
+
+def test_grain_loader_yields_collated_batches():
+    """The grain adapter (production multi-host input stack) must yield
+    collated numpy batches covering the dataset exactly once."""
+    from nope_tpu.data.grain_pipeline import make_grain_loader
+
+    class Tiny:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            return {"x": np.full(3, float(i), np.float32),
+                    "idx": np.asarray(i, np.int64)}
+
+    loader = make_grain_loader(
+        Tiny(), batch_size=4, shuffle=True, seed=0, num_epochs=1,
+    )
+    batches = list(loader)
+    assert len(batches) == 2
+    seen = sorted(int(i) for b in batches for i in np.atleast_1d(b["idx"]))
+    assert seen == list(range(8))
+    for b in batches:
+        assert b["x"].shape == (4, 3)
+        np.testing.assert_allclose(b["x"][:, 0], np.asarray(b["idx"], np.float32))
