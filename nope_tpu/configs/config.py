@@ -25,6 +25,10 @@ class OptimConfig:
     use_inv_deltaR: bool = True
     milestones_epochs: Tuple[int, ...] = (10, 30, 50, 100)
     gamma: float = 0.5
+    # bf16 forward+backward with f32 master weights + f32 AdamW state
+    # (no loss scaling needed on TPU).  Off by default: the fp32 step is
+    # the reference-recipe parity anchor.
+    half_precision_train: bool = False
 
 
 @dataclass

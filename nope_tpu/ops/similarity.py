@@ -176,6 +176,14 @@ _METRICS = {
 }
 
 
+def similarity_metric(name: str):
+    """Look up a similarity function by config name ((B,h,w,C) query ×
+    (B,N,h,w,C) bank → (B,N)); every metric reduces per-template, so
+    callers may chunk the N axis exactly (see
+    ``PoseConditionalTask.retrieve_streaming``)."""
+    return _METRICS[name]
+
+
 def retrieve(
     query: jax.Array, bank: jax.Array, k: int = 5, metric: str = "l2"
 ) -> Tuple[jax.Array, jax.Array]:

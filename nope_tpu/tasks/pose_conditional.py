@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from nope_tpu.models.distributions import DiagonalGaussian
-from nope_tpu.ops.similarity import retrieve
+from nope_tpu.ops.similarity import retrieve, similarity_metric
 from nope_tpu.tasks.metrics import GeodesicError
 
 
@@ -228,6 +228,52 @@ class PoseConditionalTask:
         pred = pred.reshape(num_chunks, b, chunk_size, h, w, pred.shape[-1])
         return jnp.swapaxes(pred, 0, 1).reshape(b, n, h, w, pred.shape[-1])
 
+    def retrieve_streaming(
+        self,
+        params,
+        query: jax.Array,
+        reference: jax.Array,
+        bank_relativeR: jax.Array,
+        chunk_size: int,
+        reference_latent: Optional[jax.Array] = None,
+        query_latent: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Fused bank-generation + scoring: ``lax.scan`` over template
+        chunks, scoring each chunk's predicted latents against the query
+        the moment they exist.  The (B, N, h8, w8, C) bank the reference
+        materialises (``model.py:193-266``) never exists — peak HBM is
+        one (B·chunk, h8, w8, C) slice — so the full 2562-viewpoint grid
+        fits at serving batch sizes where the materialised bank would
+        OOM (B=128, N=2562 fp32 latents alone are ~5.4 GB).
+
+        Numerically identical to generate_template_bank + retrieval:
+        every supported metric reduces per-template, so chunking the N
+        axis is exact.
+        """
+        if reference_latent is None:
+            reference_latent = self.encode(params, reference, "mode")
+        if query_latent is None:
+            query_latent = self.encode(params, query, "mode")
+        b = reference_latent.shape[0]
+        n = bank_relativeR.shape[1]
+        if n % chunk_size:
+            raise ValueError(f"chunk_size {chunk_size} must divide bank size {n}")
+        num_chunks = n // chunk_size
+        poses = bank_relativeR.reshape(b, num_chunks, chunk_size, -1)
+        poses = jnp.swapaxes(poses, 0, 1).reshape(num_chunks, b * chunk_size, -1)
+        flat_ref = jnp.repeat(reference_latent, chunk_size, axis=0)
+        metric = similarity_metric(self.config.similarity_metric)
+
+        def chunk_fn(_, pose_chunk):
+            pred = self.predict_latent(params, flat_ref, pose_chunk)
+            pred = pred.reshape(b, chunk_size, *pred.shape[1:])
+            return None, metric(query_latent, pred)  # (B, chunk)
+
+        _, sims = jax.lax.scan(chunk_fn, None, poses)  # (num_chunks, B, chunk)
+        sim = jnp.swapaxes(sims, 0, 1).reshape(b, n)
+        _, idx = jax.lax.top_k(sim, self.config.retrieval_k)
+        return sim, idx
+
     def retrieval(
         self, params, query: jax.Array, template_bank: jax.Array,
         query_latent: Optional[jax.Array] = None,
@@ -264,10 +310,18 @@ class PoseConditionalTask:
             query = cast_half(batch["query"])
         else:
             infer_params, reference, query = params, batch["reference"], batch["query"]
-        bank = self.generate_template_bank(
-            infer_params, reference, batch["all_relativeR"], chunk_size=chunk_size
-        )
-        similarity, nearest = self.retrieval(infer_params, query, bank)
+        if chunk_size is not None and chunk_size < batch["all_relativeR"].shape[1]:
+            # chunked eval streams: score each chunk as it is generated,
+            # never materialising the full bank (exact — see
+            # retrieve_streaming)
+            similarity, nearest = self.retrieve_streaming(
+                infer_params, query, reference, batch["all_relativeR"], chunk_size
+            )
+        else:
+            bank = self.generate_template_bank(
+                infer_params, reference, batch["all_relativeR"], chunk_size=chunk_size
+            )
+            similarity, nearest = self.retrieval(infer_params, query, bank)
         similarity = similarity.astype(jnp.float32)
 
         template_poses = batch["template_poses"][0]  # grid shared across batch

@@ -43,17 +43,36 @@ def create_train_state(
     )
 
 
-def make_train_step(task: PoseConditionalTask, tx: optax.GradientTransformation):
+def make_train_step(
+    task: PoseConditionalTask,
+    tx: optax.GradientTransformation,
+    half_precision: bool = False,
+):
     """Build the jitted train step: state, {dataset: batch} → state', metrics.
 
     The per-dataset losses and their average are returned exactly like
     the reference logs them (``model.py:169-182``).
+
+    ``half_precision`` runs forward+backward in bfloat16 while the
+    master weights and the full optimizer state stay float32: params and
+    batch are cast at the loss boundary, so the gradients JAX returns
+    (the transpose of the f32→bf16 convert) are already float32 and feed
+    AdamW unchanged.  bf16 shares float32's exponent range, so no loss
+    scaling is needed (unlike fp16 AMP); the update differs from fp32
+    only by bf16 rounding in the matmuls the MXU would run at bf16-class
+    precision anyway.
     """
+    from nope_tpu.tasks.pose_conditional import cast_half
 
     def loss_fn(unet_params, vae_params, batches):
         params = {"unet": unet_params, "vae": vae_params}
+        if half_precision:
+            params = cast_half(params)
+            batches = cast_half(batches)
         avg, per_dataset = task.multi_dataset_loss(params, batches)
-        return avg, per_dataset
+        return avg.astype(jnp.float32), jax.tree.map(
+            lambda x: x.astype(jnp.float32), per_dataset
+        )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(

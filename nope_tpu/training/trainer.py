@@ -91,7 +91,10 @@ class Trainer:
             gamma=cfg.model.optim_config.gamma,
             steps_per_epoch=steps_per_epoch,
         )
-        self.train_step = make_train_step(task, self.tx)
+        self.train_step = make_train_step(
+            task, self.tx,
+            half_precision=getattr(cfg.model.optim_config, "half_precision_train", False),
+        )
         self.mesh = create_mesh(
             data=cfg.machine.mesh_data, template=cfg.machine.mesh_template
         )

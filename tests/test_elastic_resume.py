@@ -1,0 +1,129 @@
+"""Elastic checkpoint-resume across process restarts.
+
+A training process runs a few steps and dies abruptly (``os._exit`` —
+no logger close, no graceful shutdown); a FRESH process pointed at the
+same save_dir must resume from the last committed checkpoint and
+continue the step/metric stream without resetting.  An orbax
+tmp-directory (a crash-interrupted save) planted in the checkpoint dir
+must be ignored.  Reference analogue: Lightning ``ckpt_path`` resume
+(SURVEY §5); the restart-tolerance is what the reference never tests.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+phase, save_dir = sys.argv[1], sys.argv[2]
+
+import numpy as np
+from nope_tpu.configs import load_config
+from nope_tpu.data.pipeline import DataLoader
+from nope_tpu.geometry import rotations
+from nope_tpu.models.factory import build_task
+from nope_tpu.training.trainer import Trainer
+
+cfg = load_config(None, [
+    "model.img_size=32",
+    "model.u_net.u_net_dim=8",
+    "model.u_net.dim_mults=1,2",
+    "model.u_net.resnet_block_groups=4",
+    "model.encoder.block_out_channels=8,8,8,8",
+    "model.encoder.layers_per_block=1",
+    "model.encoder.norm_groups=4",
+    "model.optim_config.warm_up_steps=2",
+    "machine.batch_size=2",
+    "machine.mesh_data=2",
+    "trainer.checkpoint_every_n_steps=2",
+    "trainer.num_sanity_val_steps=0",
+    "trainer.media_every_n_steps=0",
+    f"save_dir={save_dir}",
+    "name_exp=elastic",
+])
+
+IMG = 32
+
+class SyntheticPairs:
+    def __len__(self):
+        return 64
+    def __getitem__(self, i):
+        rng = np.random.default_rng(i)
+        mat = np.asarray(rotations.random_rotations(jax.random.key(i), 1))[0]
+        d6 = np.asarray(rotations.matrix_to_rotation_6d(mat))
+        d6_inv = np.asarray(rotations.matrix_to_rotation_6d(mat.T))
+        return {
+            "query": rng.uniform(-1, 1, (IMG, IMG, 3)).astype(np.float32),
+            "reference": rng.uniform(-1, 1, (IMG, IMG, 3)).astype(np.float32),
+            "relativeR": d6.astype(np.float32),
+            "relativeR_inv": d6_inv.astype(np.float32),
+        }
+
+loaders = {"ds": DataLoader(SyntheticPairs(), batch_size=2, num_workers=2)}
+trainer = Trainer(cfg, task := build_task(cfg.model), loaders)
+state = trainer.init_state(resume=True)
+print(f"RESUMED_FROM {int(state.step)}", flush=True)
+
+if phase == "crash":
+    trainer.fit(state=state, max_steps=4)
+    os._exit(1)  # abrupt death: no logger close, no graceful teardown
+else:
+    state = trainer.fit(state=state, max_steps=8)
+    print(f"RESULT final_step={int(state.step)}", flush=True)
+"""
+
+
+@pytest.mark.skipif(
+    os.environ.get("NOPE_TPU_SKIP_MULTIPROCESS") == "1",
+    reason="subprocess test disabled",
+)
+def test_resume_after_process_death(tmp_path):
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + ":" + env.get("PYTHONPATH", "")
+    save_dir = tmp_path / "runs"
+
+    def run(phase):
+        p = subprocess.run(
+            [sys.executable, str(script), phase, str(save_dir)],
+            capture_output=True, text=True, env=env, timeout=420,
+        )
+        return p
+
+    crash = run("crash")
+    assert crash.returncode == 1, crash.stdout + crash.stderr
+    assert "RESUMED_FROM 0" in crash.stdout
+
+    # plant a crash-interrupted orbax save: an uncommitted tmp step dir
+    ckpt_dir = save_dir / "elastic" / "checkpoints"
+    committed = sorted(os.listdir(ckpt_dir))
+    assert "4" in committed, committed
+    (ckpt_dir / "6.orbax-checkpoint-tmp-1234567").mkdir()
+
+    resume = run("resume")
+    assert resume.returncode == 0, resume.stdout + resume.stderr
+    # resumed from the last COMMITTED step, ignoring the tmp dir
+    assert "RESUMED_FROM 4" in resume.stdout, resume.stdout
+    assert "RESULT final_step=8" in resume.stdout
+
+    # the metric stream continues across the restart without resetting
+    lines = [
+        json.loads(l)
+        for l in open(save_dir / "elastic" / "metrics.jsonl")
+    ]
+    steps = [l["step"] for l in lines if "loss/train_avg" in l]
+    assert steps == sorted(steps)
+    assert max(s for s in steps) == 8
+    assert any(s <= 4 for s in steps) and any(s > 4 for s in steps)
+    losses = [l["loss/train_avg"] for l in lines if "loss/train_avg" in l]
+    assert np.isfinite(losses).all()

@@ -104,6 +104,35 @@ def test_template_bank_engine_consistency(task_and_params, rng):
     np.testing.assert_allclose(np.asarray(full), seq, atol=1e-5)
 
 
+def test_streaming_retrieval_matches_materialized(task_and_params, rng):
+    """retrieve_streaming (scan over chunks, bank never materialised)
+    must reproduce generate_template_bank + retrieval exactly, for every
+    supported metric."""
+    import dataclasses as dc
+
+    task, params = task_and_params
+    b, n = 2, 8
+    reference = jnp.asarray(rng.uniform(-1, 1, (b, IMG, IMG, 3)).astype(np.float32))
+    query = jnp.asarray(rng.uniform(-1, 1, (b, IMG, IMG, 3)).astype(np.float32))
+    bank_R = rotations.matrix_to_rotation_6d(
+        rotations.random_rotations(jax.random.key(7), b * n)
+    ).reshape(b, n, 6)
+
+    for metric in ("l2", "l2_true", "cosine"):
+        t = PoseConditionalTask(
+            task.unet, task.vae, dc.replace(task.config, similarity_metric=metric)
+        )
+        bank = t.generate_template_bank(params, reference, bank_R)
+        sim_mat, idx_mat = t.retrieval(params, query, bank)
+        sim_str, idx_str = t.retrieve_streaming(
+            params, query, reference, bank_R, chunk_size=4
+        )
+        np.testing.assert_allclose(
+            np.asarray(sim_str), np.asarray(sim_mat), rtol=1e-6, atol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(idx_str), np.asarray(idx_mat))
+
+
 def test_retrieval_self_consistency(task_and_params, rng):
     """A bank that contains the query's own latent must retrieve it."""
     task, params = task_and_params
@@ -191,6 +220,40 @@ def test_half_precision_eval(task_and_params, rng):
     assert np.array_equal(
         np.asarray(out16["nearest_idx"][:, 0]), np.asarray(out32["nearest_idx"][:, 0])
     )
+
+
+def test_half_precision_train_step(task_and_params, rng):
+    """bf16 training with f32 master weights: the forward/backward runs
+    in bfloat16 but params + AdamW state stay float32, the first-step
+    loss matches fp32 within bf16 rounding, and repeated steps still
+    learn (loss decreases on a fixed batch)."""
+    from nope_tpu.training.optim import make_optimizer
+    from nope_tpu.training.train_state import create_train_state, make_train_step
+
+    task, _ = task_and_params
+    batch = {"ds": _batch(rng, b=2)}
+    tx = make_optimizer(base_lr=1e-3, warm_up_steps=0)
+
+    state32 = create_train_state(task, tx, jax.random.key(0), image_size=IMG)
+    state16 = create_train_state(task, tx, jax.random.key(0), image_size=IMG)
+    step32 = make_train_step(task, tx)
+    step16 = make_train_step(task, tx, half_precision=True)
+
+    _, m32 = step32(state32, batch)
+    state16, m16 = step16(state16, batch)
+    assert m16["loss/train_avg"].dtype == jnp.float32
+    np.testing.assert_allclose(
+        float(m16["loss/train_avg"]), float(m32["loss/train_avg"]), rtol=2e-2
+    )
+    # master weights and optimizer state never leave f32
+    for leaf in jax.tree.leaves((state16.unet_params, state16.opt_state)):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32
+
+    first = float(m16["loss/train_avg"])
+    for _ in range(5):
+        state16, m16 = step16(state16, batch)
+    assert float(m16["loss/train_avg"]) < first
 
 
 def test_quaternion_rotation_representation(rng):
