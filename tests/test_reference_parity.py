@@ -618,3 +618,51 @@ def test_adm_adapter_vs_reference_source(rng, resblock_updown, _patched_adm_sequ
     np.testing.assert_allclose(
         np.transpose(np.asarray(got), (0, 3, 1, 2)), want, atol=5e-4, rtol=1e-3
     )
+
+
+# ---------------------------------------------------------------------------
+# LDM schedule helpers (util.py:9-81)
+# ---------------------------------------------------------------------------
+
+
+def test_beta_and_ddim_schedules_vs_reference_source():
+    from src.model.u_net.ldm.util import (
+        betas_for_alpha_bar as ref_betas_for_alpha_bar,
+        make_beta_schedule as ref_make_beta_schedule,
+        make_ddim_sampling_parameters as ref_make_ddim_sampling_parameters,
+        make_ddim_timesteps as ref_make_ddim_timesteps,
+    )
+
+    from nope_tpu.models import schedules
+
+    for name in ("linear", "cosine", "sqrt_linear", "sqrt"):
+        np.testing.assert_allclose(
+            schedules.make_beta_schedule(name, 100),
+            ref_make_beta_schedule(name, 100),
+            rtol=1e-12,
+            err_msg=name,
+        )
+
+    for method in ("uniform", "quad"):
+        steps = schedules.make_ddim_timesteps(method, 10, 100, verbose=False)
+        np.testing.assert_array_equal(
+            steps, ref_make_ddim_timesteps(method, 10, 100, verbose=False)
+        )
+
+    betas = schedules.make_beta_schedule("linear", 100)
+    alphacums = np.cumprod(1.0 - betas)
+    steps = schedules.make_ddim_timesteps("uniform", 10, 100, verbose=False)
+    # the reference indexes alphacums[steps] with steps ending at
+    # num_ddpm (the +1 quirk); clamp identically for the comparison
+    steps = np.clip(steps, 0, len(alphacums) - 1)
+    got = schedules.make_ddim_sampling_parameters(alphacums, steps, eta=0.5)
+    want = ref_make_ddim_sampling_parameters(alphacums, steps, eta=0.5, verbose=False)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=1e-12)
+
+    alpha_bar = lambda t: np.cos((t + 0.008) / 1.008 * np.pi / 2) ** 2
+    np.testing.assert_allclose(
+        schedules.betas_for_alpha_bar(50, alpha_bar),
+        ref_betas_for_alpha_bar(50, alpha_bar),
+        rtol=1e-12,
+    )
