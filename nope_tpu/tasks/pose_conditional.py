@@ -254,6 +254,24 @@ class PoseConditionalTask:
             reference_latent = self.encode(params, reference, "mode")
         if query_latent is None:
             query_latent = self.encode(params, query, "mode")
+        sim = self.stream_similarity(
+            params, query_latent, reference_latent, bank_relativeR, chunk_size
+        )
+        _, idx = jax.lax.top_k(sim, self.config.retrieval_k)
+        return sim, idx
+
+    def stream_similarity(
+        self,
+        params,
+        query_latent: jax.Array,
+        reference_latent: jax.Array,
+        bank_relativeR: jax.Array,
+        chunk_size: int,
+    ) -> jax.Array:
+        """The streaming core of :meth:`retrieve_streaming`: (B, N)
+        similarity from latents, scanning template chunks without ever
+        holding more than one (B·chunk) bank slice.  Also the per-shard
+        body of the template-parallel eval (``parallel/eval.py``)."""
         b = reference_latent.shape[0]
         n = bank_relativeR.shape[1]
         if n % chunk_size:
@@ -270,9 +288,7 @@ class PoseConditionalTask:
             return None, metric(query_latent, pred)  # (B, chunk)
 
         _, sims = jax.lax.scan(chunk_fn, None, poses)  # (num_chunks, B, chunk)
-        sim = jnp.swapaxes(sims, 0, 1).reshape(b, n)
-        _, idx = jax.lax.top_k(sim, self.config.retrieval_k)
-        return sim, idx
+        return jnp.swapaxes(sims, 0, 1).reshape(b, n)
 
     def retrieval(
         self, params, query: jax.Array, template_bank: jax.Array,

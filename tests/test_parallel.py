@@ -54,6 +54,36 @@ def test_sharded_eval_matches_single_device(task_and_params, rng):
     np.testing.assert_array_equal(np.asarray(idx_sharded), np.asarray(idx_single))
 
 
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (1, 8)])
+def test_sharded_streaming_eval_matches_single_device(task_and_params, rng, mesh_shape):
+    """shard_map streaming retrieval (per-device chunked sweep +
+    template-axis all-gather) == single-device materialized retrieval,
+    on both a mixed (data=4, template=2) and a pure-template (1, 8)
+    mesh."""
+    from nope_tpu.parallel.eval import make_sharded_streaming_eval_fn
+
+    task, params = task_and_params
+    b, n = 4, 16
+    reference = jnp.asarray(rng.uniform(-1, 1, (b, IMG, IMG, 3)).astype(np.float32))
+    query = jnp.asarray(rng.uniform(-1, 1, (b, IMG, IMG, 3)).astype(np.float32))
+    bank_R = rotations.matrix_to_rotation_6d(
+        rotations.random_rotations(jax.random.key(9), b * n)
+    ).reshape(b, n, 6)
+
+    bank = task.generate_template_bank(params, reference, bank_R)
+    sim_single, idx_single = task.retrieval(params, query, bank)
+
+    data, template = mesh_shape
+    mesh = create_mesh(data=data, template=template)
+    run = make_sharded_streaming_eval_fn(task, mesh, chunk_size=2)
+    sim_sharded, idx_sharded = run(params, reference, query, bank_R)
+
+    np.testing.assert_allclose(
+        np.asarray(sim_sharded), np.asarray(sim_single), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_array_equal(np.asarray(idx_sharded), np.asarray(idx_single))
+
+
 def test_data_parallel_train_step_matches_single(task_and_params, rng):
     task, _ = task_and_params
     tx = make_optimizer(warm_up_steps=10)
