@@ -45,12 +45,17 @@ def build(tiny: bool):
                       latent_channels=4, groups=4)
         n_templates = 8
         batch = 2
+        fp32_batch = 2
         baseline_batch = 2
     else:
         img, unet_dim, mults, groups = 256, 192, (1, 2, 4, 8), 8
         vae_kw = dict()  # full SD VAE
         n_templates = 26  # fast-eval grid (idx_upper_level0_in_level2)
         batch = 128  # measured best bf16 throughput point on v5e
+        # the fp32 anchor runs at batch 64: the fp32 batch-128 program
+        # alone needs 16.4G and does not COMPILE on a 16G v5e (bf16
+        # fits); both modes report img/s so the numbers stay comparable
+        fp32_batch = 64
         baseline_batch = 2  # baseline is per-image sequential: batch-invariant
 
     unet = PoseUNet(u_net_dim=unet_dim, channels=4, dim_mults=mults,
@@ -71,7 +76,7 @@ def build(tiny: bool):
         jnp.broadcast_to(jnp.asarray(grid[0]), (batch, n_templates, 3, 3)),
     )
     bank_R = rotations.matrix_to_rotation_6d(rel)
-    return task, params, reference, query, bank_R, baseline_batch
+    return task, params, reference, query, bank_R, fp32_batch, baseline_batch
 
 
 def time_fn(fn, *args, iters=3, warmup=1):
@@ -113,7 +118,7 @@ def main():
     from nope_tpu.ops.similarity import retrieve
     from nope_tpu.tasks.pose_conditional import cast_half
 
-    task, params, reference, query, bank_R, baseline_batch = build(args.tiny)
+    task, params, reference, query, bank_R, fp32_batch, baseline_batch = build(args.tiny)
     batch, n_templates = bank_R.shape[0], bank_R.shape[1]
 
     # ---- optimized: one jitted program ---------------------------------
@@ -133,13 +138,16 @@ def main():
 
         return optimized
 
-    t_fp32 = time_fn(make_optimized(False), params, reference, query, bank_R,
-                     iters=args.iters)
+    t_fp32 = time_fn(
+        make_optimized(False), params, reference[:fp32_batch],
+        query[:fp32_batch], bank_R[:fp32_batch], iters=args.iters,
+    )
     if args.fp32_only:
-        t_opt = t_fp32
+        t_opt, opt_batch = t_fp32, fp32_batch
     else:
         t_opt = time_fn(make_optimized(True), cast_half(params), reference,
                         query, bank_R, iters=args.iters)
+        opt_batch = batch
 
     # ---- baseline: reference execution shape ----------------------------
     # one template at a time, re-encoding the reference every iteration
@@ -173,18 +181,18 @@ def main():
     t_base = time_fn(baseline, params, reference, query, bank_R,
                      iters=max(3, args.iters // 2))
 
-    imgs_per_sec = batch / t_opt
+    imgs_per_sec = opt_batch / t_opt
     base_imgs_per_sec = baseline_batch / t_base
     mode = "fp32" if args.fp32_only else "bf16"
     print(
         json.dumps(
             {
                 "metric": "query+scoring images/sec/chip "
-                          f"({mode}, N={n_templates} templates, batch={batch})",
+                          f"({mode}, N={n_templates} templates, batch={opt_batch})",
                 "value": round(imgs_per_sec, 4),
                 "unit": "images/sec",
                 "vs_baseline": round(imgs_per_sec / base_imgs_per_sec, 3),
-                "fp32_images_per_sec": round(batch / t_fp32, 4),
+                "fp32_images_per_sec": round(fp32_batch / t_fp32, 4),
                 "baseline_images_per_sec": round(base_imgs_per_sec, 4),
                 "backend": jax.default_backend(),
             }
