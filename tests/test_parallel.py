@@ -166,6 +166,38 @@ def test_sharded_eval_with_committed_params_and_ragged_tail(task_and_params, rng
     assert np.isfinite(scores["top1, median"])
 
 
+def test_sharded_eval_harness_with_streaming_chunks(task_and_params, rng):
+    """evaluate_geodesic with BOTH a mesh and a chunk_size (the
+    streaming scan under jit-SPMD shardings) must score identically to
+    the plain single-device materialized harness."""
+    from nope_tpu.evaluation.geodesic import evaluate_geodesic
+    from nope_tpu.geometry import so3_grid, transforms
+
+    task, params = task_and_params
+    n, b = 8, 4
+    grid = so3_grid.load_obj_poses(0)[:n, :3, :3].astype(np.float32)
+    rel = transforms.relative_rotation_jax(
+        jnp.asarray(grid)[None].repeat(b, 0),
+        jnp.broadcast_to(jnp.asarray(grid[0]), (b, n, 3, 3)),
+    )
+    batch = {
+        "query": rng.uniform(-1, 1, (b, IMG, IMG, 3)).astype(np.float32),
+        "reference": rng.uniform(-1, 1, (b, IMG, IMG, 3)).astype(np.float32),
+        "gt_relativeR": np.asarray(
+            rotations.matrix_to_rotation_6d(jnp.asarray(grid[:b]))
+        ),
+        "all_relativeR": np.asarray(rotations.matrix_to_rotation_6d(rel)),
+        "query_pose": grid[:b],
+        "template_poses": np.broadcast_to(grid, (b, n, 3, 3)).copy(),
+        "symmetry": np.zeros(b, np.float32),
+    }
+    plain = evaluate_geodesic(task, params, [batch])
+    mesh = create_mesh(data=2, template=2)
+    streamed = evaluate_geodesic(task, params, [batch], chunk_size=4, mesh=mesh)
+    for key in ("top1, median", "top1, accuracy_15", "num_images"):
+        np.testing.assert_allclose(streamed[key], plain[key], rtol=1e-4, err_msg=key)
+
+
 def test_bank_generation_hlo_is_partitioned(task_and_params, rng):
     """The compiled (post-SPMD) HLO must carry PER-DEVICE shapes for the
     template sweep: the flat U-Net latent batch appears as
