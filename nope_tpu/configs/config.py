@@ -149,12 +149,25 @@ class DataConfig:
 
 
 @dataclass
+class UserConfig:
+    """configs/user/default.yaml: W&B identity + storage roots.  W&B is
+    optional — when unset (or wandb is not installed) metrics flow to
+    the JSONL/TensorBoard sinks only."""
+
+    wandb_api_key: Optional[str] = None
+    wandb_project_name: Optional[str] = None
+    local_root_dir: str = "."
+    slurm_root_dir: Optional[str] = None
+
+
+@dataclass
 class ExperimentConfig:
     name_exp: str = "train"
     save_dir: str = "./results"
     train_data_name: List[str] = field(default_factory=lambda: ["shapeNet"])
     test_data_name: List[str] = field(default_factory=lambda: ["shapeNet"])
     use_pretrained: bool = True
+    user: UserConfig = field(default_factory=UserConfig)
     machine: MachineConfig = field(default_factory=MachineConfig)
     trainer: TrainerConfig = field(default_factory=TrainerConfig)
     model: ModelConfig = field(default_factory=ModelConfig)

@@ -28,10 +28,20 @@ from nope_tpu.training.train_state import TrainState, create_train_state, make_t
 
 
 class MetricLogger:
-    """JSONL metric stream + optional tensorboardX (wandb is not part of
-    this image; the reference's W&B logging maps onto this)."""
+    """JSONL metric stream + optional tensorboardX + optional W&B.
 
-    def __init__(self, save_dir: str):
+    The W&B sink mirrors the reference's ``WandbLogger`` usage
+    (``train.py:34``, ``model.py:164-191``): enabled when a project name
+    is configured AND the wandb package imports; otherwise metrics flow
+    to JSONL/TB only (wandb is not part of this image)."""
+
+    def __init__(
+        self,
+        save_dir: str,
+        wandb_project: Optional[str] = None,
+        wandb_api_key: Optional[str] = None,
+        wandb_config: Optional[dict] = None,
+    ):
         os.makedirs(save_dir, exist_ok=True)
         self._jsonl = open(os.path.join(save_dir, "metrics.jsonl"), "a")
         try:
@@ -40,6 +50,19 @@ class MetricLogger:
             self._tb = SummaryWriter(os.path.join(save_dir, "tb"))
         except Exception:
             self._tb = None
+        self._wandb = None
+        if wandb_project:
+            try:
+                if wandb_api_key:
+                    os.environ["WANDB_API_KEY"] = wandb_api_key
+                import wandb
+
+                self._wandb = wandb.init(
+                    project=wandb_project, dir=save_dir, config=wandb_config or {}
+                )
+            except Exception as e:
+                logging.warning("wandb requested but unavailable (%s); "
+                                "logging to JSONL/TB only", e)
 
     def log(self, step: int, metrics: Dict[str, float]) -> None:
         record = {"step": int(step)}
@@ -50,11 +73,28 @@ class MetricLogger:
             for k, v in record.items():
                 if k != "step":
                     self._tb.add_scalar(k, v, step)
+        if self._wandb is not None:
+            self._wandb.log(
+                {k: v for k, v in record.items() if k != "step"}, step=step
+            )
+
+    def log_image(self, key: str, path: str, step: int) -> None:
+        """Media grid → W&B image (``model.py:164``); no-op without W&B
+        (the PNG itself is already on disk for JSONL/TB users)."""
+        if self._wandb is not None:
+            try:
+                import wandb
+
+                self._wandb.log({key: wandb.Image(path)}, step=step)
+            except Exception as e:
+                logging.warning("wandb image log failed: %s", e)
 
     def close(self) -> None:
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()
 
 
 class Trainer:
@@ -98,7 +138,13 @@ class Trainer:
         self.mesh = create_mesh(
             data=cfg.machine.mesh_data, template=cfg.machine.mesh_template
         )
-        self.logger = MetricLogger(cfg.save_dir)
+        user = getattr(cfg, "user", None)
+        self.logger = MetricLogger(
+            cfg.save_dir,
+            wandb_project=getattr(user, "wandb_project_name", None),
+            wandb_api_key=getattr(user, "wandb_api_key", None),
+            wandb_config={"name_exp": cfg.name_exp},
+        )
         self.ckpt = CheckpointManager(
             os.path.join(cfg.save_dir, "checkpoints"),
             save_interval_steps=cfg.trainer.checkpoint_every_n_steps,
@@ -135,6 +181,7 @@ class Trainer:
                 ],
                 path,
             )
+            self.logger.log_image(f"reconstruction/train_{name}", path, step)
             logging.info("media grid written: %s", path)
         except Exception as e:  # media logging must never kill training
             logging.warning("media logging failed: %s", e)

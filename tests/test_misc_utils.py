@@ -65,3 +65,64 @@ def test_trainer_media_logging(tmp_path, rng):
     trainer._log_media(state, batch, step=7)
     media = osp.join(cfg.save_dir, "media", "reconst_step7_rank0.png")
     assert osp.exists(media)
+
+
+def test_metric_logger_wandb_adapter(tmp_path, monkeypatch):
+    """With a wandb module present and a project configured, scalars and
+    images route to wandb.init/log; without one, the logger degrades to
+    JSONL/TB with a warning (never raises)."""
+    import sys
+    import types
+
+    from nope_tpu.training.trainer import MetricLogger
+
+    calls = {"logged": [], "images": [], "finished": []}
+
+    class FakeRun:
+        def log(self, payload, step=None):
+            calls["logged"].append((step, payload))
+
+        def finish(self):
+            calls["finished"].append(True)
+
+    fake = types.ModuleType("wandb")
+    fake.init = lambda **kw: FakeRun()
+    fake.Image = lambda path: ("image", path)
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    logger = MetricLogger(
+        str(tmp_path / "w"), wandb_project="proj", wandb_api_key="key"
+    )
+    logger.log(3, {"loss/train_avg": 0.5})
+    img = tmp_path / "grid.png"
+    img.write_bytes(b"png")
+    logger.log_image("reconstruction/train_ds", str(img), 3)
+    logger.close()
+
+    assert calls["logged"][0] == (3, {"loss/train_avg": 0.5})
+    assert calls["logged"][1] == (3, {"reconstruction/train_ds": ("image", str(img))})
+    assert calls["finished"] == [True]
+    import os
+    assert os.environ.get("WANDB_API_KEY") == "key"
+
+    # no wandb installed -> silent JSONL/TB fallback
+    monkeypatch.delitem(sys.modules, "wandb")
+    monkeypatch.setattr(
+        "builtins.__import__",
+        _blocking_import("wandb"),
+    )
+    logger2 = MetricLogger(str(tmp_path / "w2"), wandb_project="proj")
+    logger2.log(1, {"a": 1.0})
+    logger2.close()
+    assert logger2._wandb is None
+
+
+def _blocking_import(blocked):
+    real_import = __import__
+
+    def guarded(name, *args, **kwargs):
+        if name == blocked:
+            raise ImportError(f"{blocked} blocked for test")
+        return real_import(name, *args, **kwargs)
+
+    return guarded
