@@ -7,3 +7,7 @@ from nope_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     shard_batch,
 )
+from nope_tpu.parallel.eval import (  # noqa: F401
+    make_sharded_eval_fn,
+    make_sharded_streaming_eval_fn,
+)
