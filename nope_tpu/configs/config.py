@@ -299,14 +299,21 @@ def _interpolate(node, variables: dict):
 def load_config(
     yaml_path: Optional[str] = None, overrides: Optional[List[str]] = None
 ) -> ExperimentConfig:
+    overrides = list(overrides) if overrides else []
     if yaml_path is not None:
         data = _load_yaml_tree(yaml_path)
+        # a machine.root_dir CLI override must win over the YAML value
+        # BEFORE ${machine.root_dir} leaves are substituted (OmegaConf
+        # resolves interpolation lazily; this is the eager equivalent)
         root = data.get("machine", {}).get("root_dir", MachineConfig().root_dir)
+        for ov in overrides:
+            if ov.startswith("machine.root_dir="):
+                root = ov.split("=", 1)[1]
         data = _interpolate(data, {"machine.root_dir": root})
         cfg = _from_dict(ExperimentConfig, data)
     else:
         cfg = ExperimentConfig()
     if overrides:
-        cfg = apply_overrides(cfg, list(overrides))
+        cfg = apply_overrides(cfg, overrides)
     cfg.save_dir = os.path.join(cfg.save_dir, cfg.name_exp)
     return cfg

@@ -89,6 +89,12 @@ def build_train_loaders(cfg: ExperimentConfig) -> Dict[str, DataLoader]:
         ds_cfg = cfg.data.datasets[name]
         if name == "shapeNet":
             ds_cfg.split = "training"
+        if name in ("tless", "bop") and not ds_cfg.split:
+            # the reference's train.py:70-71 sets an unused `seen=True`
+            # and never fills the split its BOPDataset requires; resolve
+            # the single train/val folder instead (train_primesense for
+            # the BOP tless layout) rather than defaulting to 'test'
+            ds_cfg.split = _detect_train_split(ds_cfg.root_dir)
         if name == "bop_texture":
             dataset = build_bop_texture_group(cfg, ds_cfg)
         else:

@@ -21,24 +21,31 @@ import numpy as np
 import jax
 
 
-def _merge_across_processes(errors: np.ndarray, loss_sum: float, loss_count: int):
+def _merge_across_processes(
+    errors: np.ndarray, loss_sum: float, loss_count: int, k: int
+):
     """All-gather per-process eval results so every process computes the
     same global scores (the reference logs with ``sync_dist=True``,
     ``model.py:184-191``).  Per-process image counts may differ
-    (disjoint loader shards), so rows are NaN-padded to the global max
-    before the gather and dropped after."""
+    (disjoint loader shards), so rows are zero-padded to the global max
+    before the gather and sliced back by each process's gathered row
+    count — padding never masquerades as data (a legitimately-NaN error
+    row survives the merge).  ``k`` must be the configured retrieval_k
+    on every process (a rank with zero rows still has to gather the
+    same shape)."""
     from jax.experimental import multihost_utils
 
     counts = np.asarray(
         multihost_utils.process_allgather(np.asarray([errors.shape[0]]))
     ).reshape(-1)
     max_n = int(counts.max())
-    k = errors.shape[1] if errors.size else 5
-    padded = np.full((max_n, k), np.nan, dtype=np.float32)
+    padded = np.zeros((max_n, k), dtype=np.float32)
     padded[: errors.shape[0]] = errors
     gathered = np.asarray(multihost_utils.process_allgather(padded))
-    gathered = gathered.reshape(-1, k)
-    merged_errors = gathered[~np.isnan(gathered).any(axis=1)]
+    gathered = gathered.reshape(len(counts), max_n, k)
+    merged_errors = np.concatenate(
+        [gathered[p, : counts[p]] for p in range(len(counts))], axis=0
+    )
     loss_stats = np.asarray(
         multihost_utils.process_allgather(
             np.asarray([loss_sum, float(loss_count)], dtype=np.float64)
@@ -90,7 +97,6 @@ def evaluate_geodesic(
 
     all_errors = []
     losses = []
-    n_items = 0
     steady_batch = None
     t0 = time.perf_counter()
     for i, batch in enumerate(loader):
@@ -124,7 +130,7 @@ def evaluate_geodesic(
         all_errors.append(np.asarray(out["errors_topk"])[:valid])
         if valid == steady_batch:  # padded-batch losses would be skewed
             losses.append(float(out["loss"]))
-        n_items += valid
+
         if save_dir is not None:
             os.makedirs(save_dir, exist_ok=True)
             np.savez(
@@ -162,18 +168,23 @@ def evaluate_geodesic(
         if i % 10 == 0:
             logging.info("eval %s batch %d: loss=%.4f", tag, i, losses[-1])
 
+    k = int(getattr(task.config, "retrieval_k", 5))
     errors = (
-        np.concatenate(all_errors, axis=0) if all_errors else np.zeros((0, 5))
+        np.concatenate(all_errors, axis=0) if all_errors else np.zeros((0, k))
     )  # (num_images, k)
     elapsed = time.perf_counter() - t0
     loss_sum, loss_count = float(np.sum(losses)), len(losses)
-    if sync_processes and jax.process_count() > 1:
+    merged = sync_processes and jax.process_count() > 1
+    if merged:
         errors, loss_sum, loss_count = _merge_across_processes(
-            errors.astype(np.float32), loss_sum, loss_count
+            errors.astype(np.float32), loss_sum, loss_count, k
         )
     scores: Dict[str, float] = {
         "loss": loss_sum / loss_count if loss_count else float("nan"),
-        "images_per_sec": n_items / elapsed if elapsed > 0 else 0.0,
+        # after a merge both counters are GLOBAL (all processes ran
+        # concurrently, so global images over local wall time is the
+        # aggregate rate), keeping num_images / images_per_sec coherent
+        "images_per_sec": len(errors) / elapsed if elapsed > 0 else 0.0,
         "num_images": float(len(errors)),  # global after a merge
     }
     if len(errors):

@@ -109,11 +109,22 @@ def make_renderer(cad_path: str, backend: str = "auto"):
             from nope_tpu.utils.mesh import load_mesh
 
             mesh = pyrender.Mesh.from_trimesh(load_mesh(cad_path))
+            # GL/EGL failures surface only when an OffscreenRenderer is
+            # created, not at import — probe one up front so 'auto' on a
+            # GL-less host (pyrender pip-installed, no EGL driver)
+            # actually falls back instead of crashing per-frame
+            probe = pyrender.OffscreenRenderer(4, 4)
+            probe.delete()
             return lambda poses, K, shape: _render_depths(mesh, poses, K, shape)
         except ImportError:
             if backend == "pyrender":
                 raise
             logging.info("pyrender unavailable; using the numpy rasteriser")
+        except Exception as e:
+            if backend == "pyrender":
+                raise
+            logging.info("pyrender GL context failed (%s); "
+                         "using the numpy rasteriser", e)
     from nope_tpu.evaluation.raster import NumpyDepthRenderer
 
     return NumpyDepthRenderer.from_file(cad_path)

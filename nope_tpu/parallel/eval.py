@@ -51,6 +51,11 @@ def make_sharded_streaming_eval_fn(
 
     def local_sweep(params, ref_latent, q_latent, bank_R_local):
         # shapes here are PER-DEVICE: (B/D, ...) latents, (B/D, N/T, d)
+        # chunk_size is a VMEM/HBM budget hint, not a contract: the
+        # per-device template count N/T depends on the mesh, so a
+        # non-dividing request is rounded DOWN to the nearest divisor
+        # (unlike the single-device retrieve_streaming, where the caller
+        # controls N exactly and a mismatch raises)
         n_local = bank_R_local.shape[1]
         cs = min(chunk_size or n_local, n_local)
         while n_local % cs:
@@ -85,10 +90,17 @@ def make_sharded_streaming_eval_fn(
     )
 
     def run(params, reference, query, bank_R):
+        bank_R = jnp.asarray(bank_R)
+        if bank_R.shape[1] % n_template:
+            raise ValueError(
+                f"template count {bank_R.shape[1]} is not divisible by the "
+                f"template mesh axis ({n_template}); pick a mesh whose "
+                "template axis divides the grid size"
+            )
         params = jax.device_put(params, replicated)
         reference = jax.device_put(jnp.asarray(reference), batch_sharding)
         query = jax.device_put(jnp.asarray(query), batch_sharding)
-        bank_R = jax.device_put(jnp.asarray(bank_R), bank_sharding)
+        bank_R = jax.device_put(bank_R, bank_sharding)
         return jitted(params, reference, query, bank_R)
 
     return run

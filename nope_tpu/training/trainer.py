@@ -52,6 +52,11 @@ class MetricLogger:
             self._tb = None
         self._wandb = None
         if wandb_project:
+            # the env-var handoff is the reference's own mechanism
+            # (train.py:34); restore the previous value if init fails so
+            # a dead sink doesn't leak the credential to later code and
+            # child processes
+            prev_key = os.environ.get("WANDB_API_KEY")
             try:
                 if wandb_api_key:
                     os.environ["WANDB_API_KEY"] = wandb_api_key
@@ -61,6 +66,11 @@ class MetricLogger:
                     project=wandb_project, dir=save_dir, config=wandb_config or {}
                 )
             except Exception as e:
+                if wandb_api_key:
+                    if prev_key is None:
+                        os.environ.pop("WANDB_API_KEY", None)
+                    else:
+                        os.environ["WANDB_API_KEY"] = prev_key
                 logging.warning("wandb requested but unavailable (%s); "
                                 "logging to JSONL/TB only", e)
 

@@ -80,17 +80,14 @@ def test_train_all_composition_builds_loaders(tmp_path):
     make_mini_bop(str(root / "tless" / "train"), n_frames=6,
                   split="train_primesense", cad_name="models_cad")
 
-    # machine.root_dir participates in ${...} interpolation, so it must
-    # come through YAML composition (a wrapper include), not overrides
     wrapper = tmp_path / "exp.yaml"
     wrapper.write_text(
         f"include: [{os.path.abspath('configs/train_all.yaml')}]\n"
         f"machine: {{root_dir: {tmp_path}, batch_size: 2, num_workers: 0}}\n"
     )
-    cfg = load_config(
-        str(wrapper),
-        overrides=["data.datasets.tless.split=train_primesense"],
-    )
+    # no split override: the preset + builder auto-detection must
+    # resolve tless's train_primesense folder on their own
+    cfg = load_config(str(wrapper))
     loaders = build_train_loaders(cfg)
     assert set(loaders) == {"bop_texture", "shapeNet", "objaverse", "tless"}
     for name, loader in loaders.items():
@@ -157,3 +154,14 @@ def test_partial_load_semantics():
     assert report["shape_mismatch"] == ["a/b"]
     assert report["not_in_ported"] == ["only_target"]
     assert report["extra"] == ["only_ported"]
+
+
+def test_machine_root_dir_override_wins_interpolation():
+    """A machine.root_dir CLI override must substitute into
+    ${machine.root_dir} dataset paths (OmegaConf resolves interpolation
+    lazily; our eager loader must honor the override first)."""
+    cfg = load_config(
+        "configs/data/tless_train.yaml", overrides=["machine.root_dir=/mnt/x"]
+    )
+    assert cfg.machine.root_dir == "/mnt/x"
+    assert cfg.data.datasets["tless"].root_dir.startswith("/mnt/x/")

@@ -101,7 +101,11 @@ def test_bop_cli_end_to_end_with_mock_renderer(mini_bop, tmp_path, monkeypatch, 
     fake_mesh_mod = types.SimpleNamespace(load_mesh=lambda path: "trimesh")
     monkeypatch.setitem(sys.modules, "nope_tpu.utils.mesh", fake_mesh_mod)
     fake_pyrender = types.SimpleNamespace(
-        Mesh=types.SimpleNamespace(from_trimesh=lambda m: m)
+        Mesh=types.SimpleNamespace(from_trimesh=lambda m: m),
+        # make_renderer probes a tiny OffscreenRenderer up front so
+        # GL-less hosts fall back to the numpy rasteriser; the mock must
+        # survive that probe to stay on the "pyrender" path
+        OffscreenRenderer=lambda w, h: types.SimpleNamespace(delete=lambda: None),
     )
     monkeypatch.setitem(sys.modules, "pyrender", fake_pyrender)
 
