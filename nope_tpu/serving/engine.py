@@ -138,9 +138,67 @@ class PoseEstimator:
         self._banks[object_id] = self._register_fn(self.params, ref, bank_R)
         self._ref_poses[object_id] = reference_pose
 
+    def register_objects(
+        self,
+        object_ids,
+        reference_images: np.ndarray,
+        reference_poses: Optional[np.ndarray] = None,
+    ) -> None:
+        """Batch registration: one bank-generation program over a whole
+        object gallery (M, H, W, 3) — M× fewer dispatches than looping
+        :meth:`register_object`, and the U-Net sweep batches M·N
+        forwards onto the MXU at once."""
+        m = len(object_ids)
+        if reference_poses is None:
+            reference_poses = np.broadcast_to(self.template_poses[0], (m, 3, 3))
+        reference_poses = np.asarray(reference_poses, np.float32)
+        bank_R = jnp.concatenate(
+            [self._bank_relative_rotations(reference_poses[i]) for i in range(m)]
+        )  # (M, N, dim)
+        refs = jnp.asarray(reference_images, jnp.float32)
+        banks = self._register_fn(self.params, refs, bank_R)  # (M, N, h, w, C)
+        for i, object_id in enumerate(object_ids):
+            self._banks[object_id] = banks[i : i + 1]
+            self._ref_poses[object_id] = reference_poses[i]
+
     def deregister_object(self, object_id: str) -> None:
         self._banks.pop(object_id, None)
         self._ref_poses.pop(object_id, None)
+
+    # -- persistence --------------------------------------------------------
+
+    def save_registry(self, path: str) -> None:
+        """Persist every registered object's precomputed bank + reference
+        pose as one ``.npz`` — serving processes restart without paying
+        the N-forward registration sweep again (the template-set/grid
+        must match at load)."""
+        import os
+
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        payload = {"__template_poses__": self.template_poses}
+        for oid, bank in self._banks.items():
+            payload[f"bank:{oid}"] = np.asarray(bank)
+            payload[f"pose:{oid}"] = self._ref_poses[oid]
+        np.savez_compressed(path, **payload)
+
+    def load_registry(self, path: str) -> None:
+        """Restore banks written by :meth:`save_registry` (additive:
+        existing registrations are kept unless overwritten)."""
+        data = np.load(path)
+        saved_grid = data["__template_poses__"]
+        if saved_grid.shape != self.template_poses.shape or not np.allclose(
+            saved_grid, self.template_poses
+        ):
+            raise ValueError(
+                "saved registry was built on a different template grid "
+                f"({saved_grid.shape} vs {self.template_poses.shape}); "
+                "construct the estimator with the same level/distribution"
+            )
+        for key in data.files:
+            if key.startswith("bank:"):
+                oid = key[len("bank:"):]
+                self._banks[oid] = jnp.asarray(data[key])
+                self._ref_poses[oid] = data[f"pose:{oid}"]
 
     def estimate(self, object_id: str, query_images: np.ndarray) -> PoseEstimate:
         """Score (B, H, W, 3) query images against the object's bank."""

@@ -110,3 +110,47 @@ def test_infer_cli(tmp_path, rng):
     assert np.asarray(r["topk_relative_rotations"]).shape == (5, 3, 3)
     assert np.asarray(r["topk_template_rotations"]).shape == (5, 3, 3)
     assert len(r["similarity"]) == 26
+
+
+def test_batch_registration_matches_sequential(estimator, rng):
+    """register_objects (one batched bank program for the gallery) must
+    produce the same banks as per-object registration."""
+    refs = rng.uniform(-1, 1, (2, IMG, IMG, 3)).astype(np.float32)
+    estimator.register_object("solo0", refs[0])
+    estimator.register_object("solo1", refs[1])
+    estimator.register_objects(["batch0", "batch1"], refs)
+    np.testing.assert_allclose(
+        np.asarray(estimator._banks["batch0"]),
+        np.asarray(estimator._banks["solo0"]), atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(estimator._banks["batch1"]),
+        np.asarray(estimator._banks["solo1"]), atol=1e-5,
+    )
+    for oid in ("solo0", "solo1", "batch0", "batch1"):
+        estimator.deregister_object(oid)
+
+
+def test_registry_save_load_roundtrip(estimator, tmp_path, rng):
+    """A restarted serving process restores saved banks and estimates
+    identically without re-running the registration sweep; a registry
+    from a different grid is rejected."""
+    ref = rng.uniform(-1, 1, (IMG, IMG, 3)).astype(np.float32)
+    estimator.register_object("persist", ref)
+    q = rng.uniform(-1, 1, (2, IMG, IMG, 3)).astype(np.float32)
+    before = estimator.estimate("persist", q)
+
+    reg = str(tmp_path / "registry.npz")
+    estimator.save_registry(reg)
+
+    fresh = PoseEstimator(estimator.task, estimator.params, fast_evaluation=True)
+    fresh.load_registry(reg)
+    after = fresh.estimate("persist", q)
+    np.testing.assert_allclose(after.similarity, before.similarity, atol=1e-5)
+    np.testing.assert_array_equal(after.nearest_idx, before.nearest_idx)
+
+    other = PoseEstimator(estimator.task, estimator.params, level=0,
+                          pose_distribution="all")
+    with pytest.raises(ValueError, match="different template grid"):
+        other.load_registry(reg)
+    estimator.deregister_object("persist")
