@@ -140,6 +140,11 @@ class DatasetConfig:
     template_dir: Optional[str] = None
     obj_ids: Optional[str] = None
     reset_metaData: bool = False
+    # acquisition metadata (reference configs/data/*.yaml `source:`
+    # blocks): url/cad_url direct-download archives, http flag (False =
+    # non-direct link needing manual/gdrive download), unzip_mode,
+    # processing hint — consumed by scripts.download_datasets
+    source: Dict[str, Any] = field(default_factory=dict)
     extra: Dict[str, Any] = field(default_factory=dict)
 
 

@@ -1,0 +1,127 @@
+"""Dataset acquisition from the config tree's ``source:`` blocks.
+
+The reference ships download metadata in every data preset
+(``/root/reference/configs/data/*.yaml`` — ``source.url``,
+``source.cad_url``, ``source.http``, ``source.unzip_mode``) but no tool
+that consumes it; users are left to fetch the BOP zips by hand.  This
+CLI closes that gap::
+
+    python -m nope_tpu.scripts.download_datasets --config configs/train_all.yaml
+    python -m nope_tpu.scripts.download_datasets --config configs/data/tless_test.yaml --only tless
+
+Per dataset: download ``url`` and ``cad_url`` archives into the
+dataset's ``root_dir`` parent, extract per ``unzip_mode``, skip anything
+already on disk (idempotent re-runs).  Sources with ``http: false`` are
+non-direct links (gdrive/cloud shares) — they are printed for manual
+download instead of fetched.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import shutil
+import urllib.request
+from typing import Optional
+
+from nope_tpu.configs.config import DatasetConfig, load_config
+
+
+def download_file(url: str, dest: str, chunk: int = 1 << 20) -> str:
+    """Stream ``url`` to ``dest`` (skips when dest already exists)."""
+    if os.path.exists(dest):
+        logging.info("already downloaded: %s", dest)
+        return dest
+    os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
+    tmp = dest + ".part"
+    logging.info("downloading %s -> %s", url, dest)
+    with urllib.request.urlopen(url) as resp, open(tmp, "wb") as out:
+        while True:
+            block = resp.read(chunk)
+            if not block:
+                break
+            out.write(block)
+    os.replace(tmp, dest)
+    return dest
+
+
+def extract_archive(archive: str, dest_dir: str, unzip_mode: str = "unzip") -> None:
+    """Extract zip/tar archives (``unzip_mode`` mirrors the reference's
+    field; anything but 'unzip'/'tar' is treated as no-op raw data)."""
+    os.makedirs(dest_dir, exist_ok=True)
+    if unzip_mode == "unzip" or archive.endswith(".zip"):
+        import zipfile
+
+        with zipfile.ZipFile(archive) as zf:
+            zf.extractall(dest_dir)
+    elif unzip_mode == "tar" or archive.endswith((".tar", ".tar.gz", ".tgz")):
+        import tarfile
+
+        with tarfile.open(archive) as tf:
+            tf.extractall(dest_dir)
+    else:
+        logging.info("unzip_mode %r: leaving %s as-is", unzip_mode, archive)
+
+
+def fetch_dataset(name: str, cfg: DatasetConfig, keep_archives: bool = False) -> bool:
+    """Fetch + extract one dataset's archives into its root_dir.
+    Returns True when the dataset is ready (present or fetched)."""
+    source = dict(cfg.source or {})
+    if not source:
+        logging.info("%s: no source block; skipping", name)
+        return os.path.isdir(cfg.root_dir)
+    root = cfg.root_dir.rstrip("/")
+    if os.path.isdir(root) and os.listdir(root):
+        logging.info("%s: %s already populated; skipping", name, root)
+        return True
+    if not source.get("http", True):
+        logging.warning(
+            "%s: source is not a direct link; download manually:\n  data: %s\n  cad:  %s",
+            name, source.get("url"), source.get("cad_url"),
+        )
+        return False
+    os.makedirs(root, exist_ok=True)
+    mode = source.get("unzip_mode", "unzip") or "unzip"
+    for key in ("url", "cad_url"):
+        url = source.get(key)
+        if not url:
+            continue
+        fname = os.path.basename(url.split("?")[0]) or f"{name}_{key}.zip"
+        archive = os.path.join(root, fname)
+        download_file(url, archive)
+        extract_archive(archive, root, mode)
+        if not keep_archives:
+            os.remove(archive)
+    processing = source.get("processing")
+    if processing:
+        logging.info("%s: post-processing hint %r (see reference docs)", name, processing)
+    return True
+
+
+def main(argv: Optional[list] = None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", required=True, help="experiment or data preset yaml")
+    parser.add_argument("--only", nargs="*", default=None,
+                        help="dataset names to fetch (default: all with sources)")
+    parser.add_argument("--keep-archives", action="store_true")
+    parser.add_argument("overrides", nargs="*", default=[])
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    cfg = load_config(args.config, args.overrides)
+    failed = []
+    for name, ds in cfg.data.datasets.items():
+        if args.only and name not in args.only:
+            continue
+        if not ds.source and args.only is None:
+            continue
+        if not fetch_dataset(name, ds, keep_archives=args.keep_archives):
+            failed.append(name)
+    if failed:
+        logging.warning("datasets needing manual download: %s", failed)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -120,7 +120,9 @@ def test_vsd_frame_error_mocked(monkeypatch, tmp_path):
     fake_mesh_mod = types.SimpleNamespace(load_mesh=lambda path: "trimesh")
     monkeypatch.setitem(sys.modules, "nope_tpu.utils.mesh", fake_mesh_mod)
     fake_pyrender = types.SimpleNamespace(
-        Mesh=types.SimpleNamespace(from_trimesh=lambda m: m)
+        Mesh=types.SimpleNamespace(from_trimesh=lambda m: m),
+        # survive make_renderer's GL-context probe
+        OffscreenRenderer=lambda w, h: types.SimpleNamespace(delete=lambda: None),
     )
     monkeypatch.setitem(sys.modules, "pyrender", fake_pyrender)
 
@@ -223,3 +225,62 @@ def test_blender_objaverse_pose_math():
 
     assert kinect_focal_px(512) == 525.0
     assert len(light_rig_positions()) == 8
+
+
+def test_download_datasets_tool(tmp_path, caplog):
+    """scripts.download_datasets consumes the presets' source: blocks:
+    direct archives download (file:// here) + extract into root_dir,
+    re-runs are idempotent, non-direct (http: false) sources are
+    reported for manual download."""
+    import logging
+    import zipfile
+
+    import yaml
+
+    from nope_tpu.scripts.download_datasets import main
+
+    # a fake BOP archive pair served from disk
+    archives = tmp_path / "server"
+    archives.mkdir()
+    data_zip = archives / "mini_train.zip"
+    with zipfile.ZipFile(data_zip, "w") as zf:
+        zf.writestr("train/000001/rgb/000000.png", b"png")
+    cad_zip = archives / "mini_models.zip"
+    with zipfile.ZipFile(cad_zip, "w") as zf:
+        zf.writestr("models/obj_000001.ply", b"ply")
+
+    root = tmp_path / "datasets"
+    cfg = {
+        "data": {"datasets": {
+            "mini": {
+                "name": "bop",
+                "root_dir": str(root / "mini"),
+                "source": {
+                    "url": data_zip.as_uri(),
+                    "cad_url": cad_zip.as_uri(),
+                    "http": True,
+                    "unzip_mode": "unzip",
+                },
+            },
+            "manual": {
+                "name": "bop",
+                "root_dir": str(root / "manual"),
+                "source": {"url": "https://example.com/nope.zip", "http": False},
+            },
+        }}
+    }
+    cfg_path = tmp_path / "dl.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    with caplog.at_level(logging.INFO):
+        rc = main(["--config", str(cfg_path)])
+    assert rc == 1  # the manual dataset cannot be auto-fetched
+    assert (root / "mini" / "train" / "000001" / "rgb" / "000000.png").exists()
+    assert (root / "mini" / "models" / "obj_000001.ply").exists()
+    assert not list((root / "mini").glob("*.zip"))  # archives cleaned up
+    assert any("manually" in r.message for r in caplog.records)
+
+    # idempotent second run: populated root is skipped
+    with caplog.at_level(logging.INFO):
+        main(["--config", str(cfg_path), "--only", "mini"])
+    assert any("already populated" in r.message for r in caplog.records)
