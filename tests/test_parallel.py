@@ -236,3 +236,19 @@ def test_bank_generation_hlo_is_partitioned(task_and_params, rng):
     full_flat = b * n  # 64
     assert f"f32[{shard_flat},4,4," in hlo, "no per-shard latent operand in HLO"
     assert f"f32[{full_flat},4,4," not in hlo, "full-size latent operand: replicated sweep"
+
+
+def test_sharded_streaming_eval_rejects_indivisible_grid(task_and_params, rng):
+    """An up-front, actionable error when the pose grid does not divide
+    the template mesh axis (XLA's own message only fires post-compile)."""
+    from nope_tpu.parallel.eval import make_sharded_streaming_eval_fn
+
+    task, params = task_and_params
+    mesh = create_mesh(data=2, template=4)
+    run = make_sharded_streaming_eval_fn(task, mesh, chunk_size=2)
+    b, n = 2, 10  # 10 % 4 != 0
+    reference = jnp.zeros((b, IMG, IMG, 3))
+    query = jnp.zeros((b, IMG, IMG, 3))
+    bank_R = jnp.zeros((b, n, 6))
+    with pytest.raises(ValueError, match="not divisible by the template"):
+        run(params, reference, query, bank_R)
