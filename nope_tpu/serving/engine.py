@@ -63,8 +63,16 @@ class PoseEstimator:
         fast_evaluation: bool = False,
         chunk_size: Optional[int] = None,
     ):
+        from nope_tpu.tasks.pose_conditional import cast_half
+
         self.task = task
-        self.params = params
+        # honor the task's guardrailed bf16-eval default: cast the served
+        # params ONCE here and images at the call boundary, so the VAE
+        # encode + bank sweep run at bf16 MXU speed (the cast in
+        # eval_geodesic_step covers the eval harness, not this path)
+        self._half = bool(getattr(task.config, "half_precision_eval", False))
+        self._image_dtype = jnp.bfloat16 if self._half else jnp.float32
+        self.params = cast_half(params) if self._half else params
         self.chunk_size = chunk_size
 
         if fast_evaluation:
@@ -134,7 +142,9 @@ class PoseEstimator:
             reference_pose = self.template_poses[0]
         reference_pose = np.asarray(reference_pose, np.float32)
         bank_R = self._bank_relative_rotations(reference_pose)
-        ref = jnp.asarray(reference_image, jnp.float32)[None]
+        if self._half:
+            bank_R = bank_R.astype(jnp.bfloat16)
+        ref = jnp.asarray(reference_image, self._image_dtype)[None]
         self._banks[object_id] = self._register_fn(self.params, ref, bank_R)
         self._ref_poses[object_id] = reference_pose
 
@@ -152,10 +162,17 @@ class PoseEstimator:
         if reference_poses is None:
             reference_poses = np.broadcast_to(self.template_poses[0], (m, 3, 3))
         reference_poses = np.asarray(reference_poses, np.float32)
-        bank_R = jnp.concatenate(
-            [self._bank_relative_rotations(reference_poses[i]) for i in range(m)]
-        )  # (M, N, dim)
-        refs = jnp.asarray(reference_images, jnp.float32)
+        # One batched (M, N, 3, 3) program instead of M per-object host
+        # dispatches — the ~25 ms/dispatch tunnel latency on this host
+        # otherwise dominates gallery registration.
+        rel = relative_rotation_jax(
+            jnp.asarray(self.template_poses)[None],  # (1, N, 3, 3)
+            jnp.asarray(reference_poses)[:, None],  # (M, 1, 3, 3)
+        )
+        bank_R = self._pose_representation(rel)  # (M, N, dim)
+        if self._half:
+            bank_R = bank_R.astype(jnp.bfloat16)
+        refs = jnp.asarray(reference_images, self._image_dtype)
         banks = self._register_fn(self.params, refs, bank_R)  # (M, N, h, w, C)
         for i, object_id in enumerate(object_ids):
             self._banks[object_id] = banks[i : i + 1]
@@ -177,7 +194,9 @@ class PoseEstimator:
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         payload = {"__template_poses__": self.template_poses}
         for oid, bank in self._banks.items():
-            payload[f"bank:{oid}"] = np.asarray(bank)
+            # persist f32 regardless of serving dtype (npz + bf16 custom
+            # dtypes don't round-trip portably); cast back at load
+            payload[f"bank:{oid}"] = np.asarray(bank, np.float32)
             payload[f"pose:{oid}"] = self._ref_poses[oid]
         np.savez_compressed(path, **payload)
 
@@ -197,7 +216,7 @@ class PoseEstimator:
         for key in data.files:
             if key.startswith("bank:"):
                 oid = key[len("bank:"):]
-                self._banks[oid] = jnp.asarray(data[key])
+                self._banks[oid] = jnp.asarray(data[key], self._image_dtype)
                 self._ref_poses[oid] = data[f"pose:{oid}"]
 
     def estimate(self, object_id: str, query_images: np.ndarray) -> PoseEstimate:
@@ -205,7 +224,7 @@ class PoseEstimator:
         if object_id not in self._banks:
             raise KeyError(f"object {object_id!r} is not registered")
         bank = self._banks[object_id]
-        queries = jnp.asarray(query_images, jnp.float32)
+        queries = jnp.asarray(query_images, self._image_dtype)
         if queries.ndim == 3:
             queries = queries[None]
         sim, idx = self._score_fn(self.params, queries, bank)
@@ -216,6 +235,6 @@ class PoseEstimator:
             nearest_idx=idx_np,
             relative_rotations=retrieved @ ref_pose.T,
             rotations=retrieved,
-            similarity=np.asarray(sim),
+            similarity=np.asarray(sim, np.float32),
             template_poses=self.template_poses,
         )
