@@ -131,6 +131,26 @@ def test_batch_registration_matches_sequential(estimator, rng):
         estimator.deregister_object(oid)
 
 
+def test_serving_dtype_follows_task_config(estimator, rng):
+    """The engine serves in bf16 iff the task's half_precision_eval flag
+    is set: banks are stored in the serving dtype, outputs are always
+    float32 numpy."""
+    ref = rng.uniform(-1, 1, (IMG, IMG, 3)).astype(np.float32)
+    estimator.register_object("dtype_probe", ref)
+    assert estimator._banks["dtype_probe"].dtype == jnp.bfloat16
+    r = estimator.estimate("dtype_probe", ref[None])
+    assert r.similarity.dtype == np.float32
+    estimator.deregister_object("dtype_probe")
+
+    fp32_task = PoseConditionalTask(
+        estimator.task.unet, estimator.task.vae,
+        TaskConfig(half_precision_eval=False),
+    )
+    fp32_est = PoseEstimator(fp32_task, estimator.params, fast_evaluation=True)
+    fp32_est.register_object("dtype_probe", ref)
+    assert fp32_est._banks["dtype_probe"].dtype == jnp.float32
+
+
 def test_registry_save_load_roundtrip(estimator, tmp_path, rng):
     """A restarted serving process restores saved banks and estimates
     identically without re-running the registration sweep; a registry
