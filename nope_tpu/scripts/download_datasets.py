@@ -7,21 +7,25 @@ that consumes it; users are left to fetch the BOP zips by hand.  This
 CLI closes that gap::
 
     python -m nope_tpu.scripts.download_datasets --config configs/train_all.yaml
-    python -m nope_tpu.scripts.download_datasets --config configs/data/tless_test.yaml --only tless
+    python -m nope_tpu.scripts.download_datasets --config configs/data/tless_test.yaml --only tless_test
 
 Per dataset: download ``url`` and ``cad_url`` archives into the
-dataset's ``root_dir`` parent, extract per ``unzip_mode``, skip anything
-already on disk (idempotent re-runs).  Sources with ``http: false`` are
-non-direct links (gdrive/cloud shares) — they are printed for manual
-download instead of fetched.
+dataset's ``root_dir``, extract there per ``unzip_mode``, and skip
+datasets already on disk (idempotent re-runs).  A state file inside
+``root_dir`` records which sources finished, so an interrupted run
+resumes with the missing archives instead of declaring a half-fetched
+directory complete; directories populated by hand (no state file) are
+left alone.  Sources with ``http: false`` are non-direct links
+(gdrive/cloud shares) — they are printed for manual download instead of
+fetched.
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import logging
 import os
-import shutil
 import urllib.request
 from typing import Optional
 
@@ -54,25 +58,47 @@ def extract_archive(archive: str, dest_dir: str, unzip_mode: str = "unzip") -> N
         import zipfile
 
         with zipfile.ZipFile(archive) as zf:
+            for member in zf.namelist():
+                # zipfile.extract sanitises absolute paths but not ".."
+                # traversal on all versions; reject crafted archives
+                if os.path.isabs(member) or ".." in member.split("/"):
+                    raise ValueError(f"unsafe path in archive: {member!r}")
             zf.extractall(dest_dir)
     elif unzip_mode == "tar" or archive.endswith((".tar", ".tar.gz", ".tgz")):
         import tarfile
 
         with tarfile.open(archive) as tf:
-            tf.extractall(dest_dir)
+            try:
+                tf.extractall(dest_dir, filter="data")  # blocks traversal
+            except TypeError:  # Python < 3.12 without the filter arg
+                for member in tf.getmembers():
+                    if os.path.isabs(member.name) or ".." in member.name.split("/"):
+                        raise ValueError(f"unsafe path in archive: {member.name!r}")
+                tf.extractall(dest_dir)
     else:
         logging.info("unzip_mode %r: leaving %s as-is", unzip_mode, archive)
 
 
+STATE_FILE = ".nope_download_state.json"
+
+
 def fetch_dataset(name: str, cfg: DatasetConfig, keep_archives: bool = False) -> bool:
     """Fetch + extract one dataset's archives into its root_dir.
-    Returns True when the dataset is ready (present or fetched)."""
+    Returns True when the dataset is ready (present or fetched).
+
+    A state file in root_dir lists the sources that finished; it exists
+    only while a fetch is incomplete, so an interrupted run resumes the
+    missing sources while hand-populated directories (no state file)
+    are never touched.
+    """
     source = dict(cfg.source or {})
     if not source:
         logging.info("%s: no source block; skipping", name)
         return os.path.isdir(cfg.root_dir)
     root = cfg.root_dir.rstrip("/")
-    if os.path.isdir(root) and os.listdir(root):
+    state_path = os.path.join(root, STATE_FILE)
+    resuming = os.path.exists(state_path)
+    if os.path.isdir(root) and os.listdir(root) and not resuming:
         logging.info("%s: %s already populated; skipping", name, root)
         return True
     if not source.get("http", True):
@@ -82,10 +108,17 @@ def fetch_dataset(name: str, cfg: DatasetConfig, keep_archives: bool = False) ->
         )
         return False
     os.makedirs(root, exist_ok=True)
+    done = []
+    if resuming:
+        with open(state_path) as f:
+            done = json.load(f).get("done", [])
+        logging.info("%s: resuming (done so far: %s)", name, done or "none")
     mode = source.get("unzip_mode", "unzip") or "unzip"
+    with open(state_path, "w") as f:
+        json.dump({"done": done}, f)
     for key in ("url", "cad_url"):
         url = source.get(key)
-        if not url:
+        if not url or key in done:
             continue
         fname = os.path.basename(url.split("?")[0]) or f"{name}_{key}.zip"
         archive = os.path.join(root, fname)
@@ -93,6 +126,10 @@ def fetch_dataset(name: str, cfg: DatasetConfig, keep_archives: bool = False) ->
         extract_archive(archive, root, mode)
         if not keep_archives:
             os.remove(archive)
+        done.append(key)
+        with open(state_path, "w") as f:
+            json.dump({"done": done}, f)
+    os.remove(state_path)  # complete: future runs take the skip path
     processing = source.get("processing")
     if processing:
         logging.info("%s: post-processing hint %r (see reference docs)", name, processing)
@@ -110,16 +147,28 @@ def main(argv: Optional[list] = None) -> int:
     logging.basicConfig(level=logging.INFO)
 
     cfg = load_config(args.config, args.overrides)
+    if args.only:
+        unknown = sorted(set(args.only) - set(cfg.data.datasets))
+        if unknown:
+            parser.error(
+                f"--only names {unknown} match no dataset; "
+                f"config defines {sorted(cfg.data.datasets)}"
+            )
     failed = []
     for name, ds in cfg.data.datasets.items():
         if args.only and name not in args.only:
             continue
         if not ds.source and args.only is None:
             continue
-        if not fetch_dataset(name, ds, keep_archives=args.keep_archives):
+        try:
+            ok = fetch_dataset(name, ds, keep_archives=args.keep_archives)
+        except Exception:
+            logging.exception("%s: fetch failed; continuing with the rest", name)
+            ok = False
+        if not ok:
             failed.append(name)
     if failed:
-        logging.warning("datasets needing manual download: %s", failed)
+        logging.warning("datasets needing manual download or retry: %s", failed)
     return 1 if failed else 0
 
 

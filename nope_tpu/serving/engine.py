@@ -98,6 +98,9 @@ class PoseEstimator:
             return task.retrieval(p, q, bank_b)
 
         self._score_fn = jax.jit(_score)
+        self._split_fn = jax.jit(
+            lambda b: tuple(b[i : i + 1] for i in range(b.shape[0]))
+        )
 
     @property
     def num_templates(self) -> int:
@@ -120,16 +123,6 @@ class PoseEstimator:
             return matrix_to_euler_angles(rel, "XYZ")
         raise ValueError(f"unsupported rotation representation dim {dim}")
 
-    def _bank_relative_rotations(self, reference_pose: np.ndarray) -> jax.Array:
-        rel = relative_rotation_jax(
-            jnp.asarray(self.template_poses),
-            jnp.broadcast_to(
-                jnp.asarray(reference_pose, jnp.float32),
-                (self.num_templates, 3, 3),
-            ),
-        )
-        return self._pose_representation(rel)[None]  # (1, N, dim)
-
     def register_object(
         self,
         object_id: str,
@@ -138,15 +131,11 @@ class PoseEstimator:
     ) -> None:
         """Precompute and cache the HBM-resident template bank for one
         object from a single (H, W, 3) [-1, 1] reference image."""
-        if reference_pose is None:
-            reference_pose = self.template_poses[0]
-        reference_pose = np.asarray(reference_pose, np.float32)
-        bank_R = self._bank_relative_rotations(reference_pose)
-        if self._half:
-            bank_R = bank_R.astype(jnp.bfloat16)
-        ref = jnp.asarray(reference_image, self._image_dtype)[None]
-        self._banks[object_id] = self._register_fn(self.params, ref, bank_R)
-        self._ref_poses[object_id] = reference_pose
+        self.register_objects(
+            [object_id],
+            np.asarray(reference_image)[None],
+            None if reference_pose is None else np.asarray(reference_pose)[None],
+        )
 
     def register_objects(
         self,
@@ -159,9 +148,18 @@ class PoseEstimator:
         :meth:`register_object`, and the U-Net sweep batches M·N
         forwards onto the MXU at once."""
         m = len(object_ids)
+        reference_images = np.asarray(reference_images)
+        if len(reference_images) != m:
+            raise ValueError(
+                f"{m} object ids but {len(reference_images)} reference images"
+            )
         if reference_poses is None:
             reference_poses = np.broadcast_to(self.template_poses[0], (m, 3, 3))
         reference_poses = np.asarray(reference_poses, np.float32)
+        if len(reference_poses) != m:
+            raise ValueError(
+                f"{m} object ids but {len(reference_poses)} reference poses"
+            )
         # One batched (M, N, 3, 3) program instead of M per-object host
         # dispatches — the ~25 ms/dispatch tunnel latency on this host
         # otherwise dominates gallery registration.
@@ -174,8 +172,11 @@ class PoseEstimator:
             bank_R = bank_R.astype(jnp.bfloat16)
         refs = jnp.asarray(reference_images, self._image_dtype)
         banks = self._register_fn(self.params, refs, bank_R)  # (M, N, h, w, C)
+        # one program returning M per-object slices — a host-side slicing
+        # loop would issue M extra ~25 ms dispatches on high-latency links
+        parts = self._split_fn(banks) if m > 1 else (banks,)
         for i, object_id in enumerate(object_ids):
-            self._banks[object_id] = banks[i : i + 1]
+            self._banks[object_id] = parts[i]
             self._ref_poses[object_id] = reference_poses[i]
 
     def deregister_object(self, object_id: str) -> None:
@@ -203,21 +204,21 @@ class PoseEstimator:
     def load_registry(self, path: str) -> None:
         """Restore banks written by :meth:`save_registry` (additive:
         existing registrations are kept unless overwritten)."""
-        data = np.load(path)
-        saved_grid = data["__template_poses__"]
-        if saved_grid.shape != self.template_poses.shape or not np.allclose(
-            saved_grid, self.template_poses
-        ):
-            raise ValueError(
-                "saved registry was built on a different template grid "
-                f"({saved_grid.shape} vs {self.template_poses.shape}); "
-                "construct the estimator with the same level/distribution"
-            )
-        for key in data.files:
-            if key.startswith("bank:"):
-                oid = key[len("bank:"):]
-                self._banks[oid] = jnp.asarray(data[key], self._image_dtype)
-                self._ref_poses[oid] = data[f"pose:{oid}"]
+        with np.load(path) as data:
+            saved_grid = data["__template_poses__"]
+            if saved_grid.shape != self.template_poses.shape or not np.allclose(
+                saved_grid, self.template_poses
+            ):
+                raise ValueError(
+                    "saved registry was built on a different template grid "
+                    f"({saved_grid.shape} vs {self.template_poses.shape}); "
+                    "construct the estimator with the same level/distribution"
+                )
+            for key in data.files:
+                if key.startswith("bank:"):
+                    oid = key[len("bank:"):]
+                    self._banks[oid] = jnp.asarray(data[key], self._image_dtype)
+                    self._ref_poses[oid] = data[f"pose:{oid}"]
 
     def estimate(self, object_id: str, query_images: np.ndarray) -> PoseEstimate:
         """Score (B, H, W, 3) query images against the object's bank."""

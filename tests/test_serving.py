@@ -146,7 +146,15 @@ def test_serving_dtype_follows_task_config(estimator, rng):
         estimator.task.unet, estimator.task.vae,
         TaskConfig(half_precision_eval=False),
     )
-    fp32_est = PoseEstimator(fp32_task, estimator.params, fast_evaluation=True)
+    # genuinely f32 weights — estimator.params were cast to bf16 at its
+    # construction, which would mask a params-dtype-dependent regression
+    fp32_params = jax.tree.map(
+        lambda x: x.astype(jnp.float32), estimator.params
+    )
+    fp32_est = PoseEstimator(fp32_task, fp32_params, fast_evaluation=True)
+    assert all(
+        leaf.dtype == jnp.float32 for leaf in jax.tree.leaves(fp32_est.params)
+    )
     fp32_est.register_object("dtype_probe", ref)
     assert fp32_est._banks["dtype_probe"].dtype == jnp.float32
 

@@ -284,3 +284,71 @@ def test_download_datasets_tool(tmp_path, caplog):
     with caplog.at_level(logging.INFO):
         main(["--config", str(cfg_path), "--only", "mini"])
     assert any("already populated" in r.message for r in caplog.records)
+
+
+def test_download_datasets_resume_and_errors(tmp_path, caplog):
+    """An interrupted fetch resumes from its state file instead of being
+    declared complete; a failing dataset doesn't abort the others; and
+    --only rejects names the config doesn't define."""
+    import logging
+    import zipfile
+
+    import pytest
+    import yaml
+
+    from nope_tpu.scripts.download_datasets import STATE_FILE, main
+
+    archives = tmp_path / "server"
+    archives.mkdir()
+    data_zip = archives / "mini_train.zip"
+    with zipfile.ZipFile(data_zip, "w") as zf:
+        zf.writestr("train/000001/rgb/000000.png", b"png")
+    cad_zip = archives / "mini_models.zip"
+    with zipfile.ZipFile(cad_zip, "w") as zf:
+        zf.writestr("models/obj_000001.ply", b"ply")
+
+    root = tmp_path / "datasets"
+    cfg = {
+        "data": {"datasets": {
+            "broken": {
+                "name": "bop",
+                "root_dir": str(root / "broken"),
+                "source": {
+                    "url": (archives / "missing.zip").as_uri(),
+                    "http": True,
+                },
+            },
+            "mini": {
+                "name": "bop",
+                "root_dir": str(root / "mini"),
+                "source": {
+                    "url": data_zip.as_uri(),
+                    "cad_url": cad_zip.as_uri(),
+                    "http": True,
+                    "unzip_mode": "unzip",
+                },
+            },
+        }}
+    }
+    cfg_path = tmp_path / "dl.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    # plant an interrupted fetch: data archive done, cad_url missing
+    mini_root = root / "mini"
+    mini_root.mkdir(parents=True)
+    with zipfile.ZipFile(data_zip) as zf:
+        zf.extractall(mini_root)
+    (mini_root / STATE_FILE).write_text('{"done": ["url"]}')
+
+    with caplog.at_level(logging.INFO):
+        rc = main(["--config", str(cfg_path)])
+    # the broken dataset failed but didn't stop the rest
+    assert rc == 1
+    assert any("fetch failed" in r.message for r in caplog.records)
+    assert any("resuming" in r.message for r in caplog.records)
+    # the missing cad archive was fetched and the state file cleared
+    assert (mini_root / "models" / "obj_000001.ply").exists()
+    assert not (mini_root / STATE_FILE).exists()
+
+    with pytest.raises(SystemExit):
+        main(["--config", str(cfg_path), "--only", "nope_such_dataset"])
