@@ -129,6 +129,47 @@ def test_training_improves_retrieval(procedural_root):
     assert abs(acc15_fp32 - acc15_bf16) <= 1.0 / len(err_fp32) + 1e-9
 
 
+def test_vae_pretraining_improves_reconstruction(procedural_root):
+    """First-stage pretraining (training.pretrain_vae): reconstruction
+    loss must drop on the procedural renders, and the bf16 variant must
+    keep f32 master weights."""
+    from nope_tpu.data.shapenet import ShapeNetDataset
+    from nope_tpu.models.vae import StableDiffusionVAE
+    from nope_tpu.training.pretrain_vae import (
+        create_vae_pretrain_state,
+        make_vae_pretrain_step,
+    )
+    import optax
+
+    ds = ShapeNetDataset(procedural_root, split="bottle", img_size=IMG)
+    images = jnp.asarray(np.stack([ds[i]["query"] for i in range(4)]))
+
+    vae = StableDiffusionVAE(
+        block_out_channels=(16, 16, 16, 16), layers_per_block=1,
+        latent_channels=4, groups=8,
+    )
+    tx = optax.adamw(1e-3)
+    state = create_vae_pretrain_state(vae, tx, jax.random.key(0), image_size=IMG)
+    step = make_vae_pretrain_step(vae, tx)
+
+    state, first = step(state, images)
+    for _ in range(60):
+        state, metrics = step(state, images)
+    print(f"vae pretrain recon {float(first['recon']):.4f}->"
+          f"{float(metrics['recon']):.4f}, kl {float(metrics['kl']):.1f}")
+    assert float(metrics["recon"]) < 0.6 * float(first["recon"])
+    assert np.isfinite(float(metrics["kl"]))
+
+    # bf16 step: master weights stay f32 and the loss is finite
+    hp_state = create_vae_pretrain_state(vae, tx, jax.random.key(1), image_size=IMG)
+    hp_step = make_vae_pretrain_step(vae, tx, half_precision=True)
+    hp_state, hp_metrics = hp_step(hp_state, images)
+    assert all(
+        leaf.dtype == jnp.float32 for leaf in jax.tree.leaves(hp_state.params)
+    )
+    assert np.isfinite(float(hp_metrics["loss"]))
+
+
 def _invert_6d(d6):
     m = np.zeros((3, 3), np.float32)
     m[:2] = d6.reshape(2, 3)
