@@ -157,3 +157,35 @@ def test_export_cli_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(restored["unet"]["init_conv"]["kernel"]), expected, atol=1e-6
     )
+
+
+def test_pretrain_vae_cli(train_root, tmp_path):
+    """pretrain_vae CLI: train-loader images -> a few VAE steps -> orbax
+    params dir loadable as the frozen encoder."""
+    import jax
+    import yaml
+
+    from nope_tpu.cli.pretrain_vae import main as pretrain_main
+    from nope_tpu.configs import load_config
+    from nope_tpu.models.factory import build_task
+    from nope_tpu.training.checkpoint import restore_params
+
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(
+            {"data": {"datasets": {"shapeNet": {
+                "name": "shapeNet", "root_dir": train_root, "img_size": 32,
+            }}}},
+            f,
+        )
+    out = str(tmp_path / "vae_params")
+    pretrain_main(
+        ["--config", cfg_path, "--steps", "3", "--out", out, "--log-every", "1"]
+        + TINY_OVERRIDES
+    )
+
+    cfg = load_config(cfg_path, TINY_OVERRIDES)
+    task = build_task(cfg.model)
+    params = task.init(jax.random.key(0), image_size=32)
+    restored = restore_params(out, jax.device_get(params["vae"]))
+    assert jax.tree.structure(restored) == jax.tree.structure(params["vae"])
