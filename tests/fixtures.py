@@ -214,13 +214,19 @@ def make_procedural_object(root, obj_id, template_indexes, img_px=512):
     colors = rng.integers(60, 255, (60, 3))
 
     grid = so3_grid.load_obj_poses(2)
+    # query/reference poses come from the upper hemisphere, like the
+    # reference's render protocol (generate_data.py:50-88 samples
+    # elevation in U(0, pi/2)) — the template grid the eval retrieves
+    # from is upper-only, so lower queries would be unretrievable by
+    # construction
+    upper = so3_grid.get_obj_poses_from_template_level(2, "upper")
     pose_rng = np.random.default_rng(2000 + obj_id)
 
     def save(pose, path):
         Image.fromarray(render_procedural(pose, points, colors, img_px), "RGBA").save(path)
 
     for kind, n in (("query", N_QUERY), ("reference", N_REF)):
-        sel = grid[pose_rng.integers(0, len(grid), n)].copy()
+        sel = upper[pose_rng.integers(0, len(upper), n)].copy()
         sel[:, :3, 3] *= 2.0
         os.makedirs(osp.join(root, f"object_{kind}_poses"), exist_ok=True)
         np.save(osp.join(root, f"object_{kind}_poses", f"obj_{obj_id:06d}.npy"), sel)
