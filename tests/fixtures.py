@@ -181,22 +181,42 @@ def make_mini_shapenet(root, categories=("bottle", "airplane"), objects_per_cat=
 def render_procedural(pose, points, colors, img_px=512):
     """Deterministic RGBA render of a seeded point cloud under an OpenCV
     object pose with the dataset's K (525/256 at 512^2): a learnable
-    stand-in for BlenderProc output."""
+    stand-in for BlenderProc output.
+
+    Points render as depth-weighted gaussian splats, so pixels are a
+    SMOOTH function of the pose — like a shaded surface render and
+    unlike hard sprites, whose pixel-jumps between nearby views make
+    the view-embedding map discontinuous and retrieval unlearnable.
+    """
     K = np.array([[525.0, 0, 256], [0, 525.0, 256], [0, 0, 1]])
     scale = img_px / 512.0
-    cam = points @ pose[:3, :3].T + pose[:3, 3]
-    uv = cam @ (K * np.array([[scale], [scale], [1.0]])).T
-    uv = (uv[:, :2] / uv[:, 2:3]).astype(int)
-    img = np.zeros((img_px, img_px, 4), np.uint8)
-    order = np.argsort(-cam[:, 2])  # far to near
-    r = max(2, img_px // 64)
-    for i in order:
+    cam = (points @ pose[:3, :3].T + pose[:3, 3]).astype(np.float32)
+    uv = cam @ (K * np.array([[scale], [scale], [1.0]])).astype(np.float32).T
+    uv = uv[:, :2] / uv[:, 2:3]
+    sigma = img_px / 36.0
+    r = int(3.0 * sigma)
+    wsum = np.zeros((img_px, img_px), np.float32)
+    crgb = np.zeros((img_px, img_px, 3), np.float32)
+    cols_f = colors.astype(np.float32)
+    for i in range(len(points)):
+        # each splat only touches its +-3 sigma window
         u, v = uv[i]
-        if -r < u < img_px + r and -r < v < img_px + r:
-            u0, u1 = max(0, u - r), min(img_px, u + r)
-            v0, v1 = max(0, v - r), min(img_px, v + r)
-            img[v0:v1, u0:u1, :3] = colors[i]
-            img[v0:v1, u0:u1, 3] = 255
+        u0, u1 = max(0, int(u) - r), min(img_px, int(u) + r + 1)
+        v0, v1 = max(0, int(v) - r), min(img_px, int(v) + r + 1)
+        if u0 >= u1 or v0 >= v1:
+            continue
+        xs = np.arange(u0, u1, dtype=np.float32) - u
+        ys = np.arange(v0, v1, dtype=np.float32) - v
+        d2 = ys[:, None] ** 2 + xs[None, :] ** 2
+        # nearer points dominate: inverse-square depth weighting
+        w = np.exp(-d2 / (2.0 * sigma * sigma)) / (cam[i, 2] ** 2)
+        wsum[v0:v1, u0:u1] += w
+        crgb[v0:v1, u0:u1] += w[:, :, None] * cols_f[i]
+    rgb = (crgb / (wsum[:, :, None] + 1e-12)).transpose(2, 0, 1)
+    alpha = np.clip(wsum * (np.median(cam[:, 2]) ** 2) * 4.0, 0.0, 1.0)
+    img = np.zeros((img_px, img_px, 4), np.uint8)
+    img[..., :3] = np.clip(rgb * alpha[None], 0, 255).transpose(1, 2, 0)
+    img[..., 3] = (alpha * 255).astype(np.uint8)
     return img
 
 
@@ -214,20 +234,23 @@ def make_procedural_object(root, obj_id, template_indexes, img_px=512):
     colors = rng.integers(60, 255, (60, 3))
 
     grid = so3_grid.load_obj_poses(2)
-    # query/reference poses come from the upper hemisphere, like the
-    # reference's render protocol (generate_data.py:50-88 samples
-    # elevation in U(0, pi/2)) — the template grid the eval retrieves
-    # from is upper-only, so lower queries would be unretrievable by
-    # construction
-    upper = so3_grid.get_obj_poses_from_template_level(2, "upper")
+    # query/reference poses are CONTINUOUS upper-hemisphere samples,
+    # exactly the reference's render protocol (generate_data.py:50-88:
+    # azimuth U(0, 2pi), elevation U(0, pi/2)) — grid-valued queries
+    # would quantize the error scale and make untrained baselines
+    # degenerate; lower-hemisphere queries would be unretrievable
+    # against the upper-only template grid
+    from nope_tpu.scripts.generate_data import sample_camera_poses
+
     pose_rng = np.random.default_rng(2000 + obj_id)
 
     def save(pose, path):
         Image.fromarray(render_procedural(pose, points, colors, img_px), "RGBA").save(path)
 
     for kind, n in (("query", N_QUERY), ("reference", N_REF)):
-        sel = upper[pose_rng.integers(0, len(upper), n)].copy()
-        sel[:, :3, 3] *= 2.0
+        # radius 1.0 matches the x2.0-scaled grid templates (grid
+        # stores 0.5 m camera distance)
+        sel = sample_camera_poses(pose_rng, n, 1.0)
         os.makedirs(osp.join(root, f"object_{kind}_poses"), exist_ok=True)
         np.save(osp.join(root, f"object_{kind}_poses", f"obj_{obj_id:06d}.npy"), sel)
         for i in range(n):

@@ -99,11 +99,16 @@ def test_training_improves_retrieval(procedural_root):
 
     med_before = np.median(np.min(errors_before[:, :5], axis=1))
     med_after = np.median(np.min(errors_after[:, :5], axis=1))
+    top1_before = np.median(errors_before[:, 0])
+    top1_after = np.median(errors_after[:, 0])
     print(f"loss {loss_before:.4f}->{loss_after:.4f}, "
-          f"top5 median err {med_before:.1f}->{med_after:.1f} deg")
+          f"top1 median err {top1_before:.1f}->{top1_after:.1f} deg, "
+          f"top5 {med_before:.1f}->{med_after:.1f} deg")
     assert loss_after < 0.7 * loss_before
     # retrieval must be meaningfully better than the untrained model
-    assert med_after < med_before
+    # (top-1; top-5 saturates at the grid floor on the smooth renders)
+    assert top1_after < top1_before
+    assert med_after <= med_before
 
     # ---- bf16 inference guardrail (VERDICT round-1 #3): on the trained
     # model, half-precision eval must match fp32 retrieval within
