@@ -189,3 +189,43 @@ def test_pretrain_vae_cli(train_root, tmp_path):
     params = task.init(jax.random.key(0), image_size=32)
     restored = restore_params(out, jax.device_get(params["vae"]))
     assert jax.tree.structure(restored) == jax.tree.structure(params["vae"])
+
+    # the documented from-scratch recipe: cli.train warm-starts the
+    # frozen codec from the orbax dir pretrain_vae wrote
+    import numpy as np
+
+    from nope_tpu.cli.train import main as train_main
+
+    save_dir = str(tmp_path / "train_out")
+    train_main(
+        ["--config", cfg_path, "--max-steps", "2"]
+        + TINY_OVERRIDES
+        + [
+            f"model.encoder.pretrained_path={out}",
+            f"save_dir={save_dir}",
+            "name_exp=scratch",
+            "trainer.num_sanity_val_steps=0",
+            "trainer.media_every_n_steps=0",
+        ]
+    )
+    # the trainer's checkpoint holds the pretrained codec, not the init
+    from nope_tpu.training.checkpoint import CheckpointManager
+    from nope_tpu.training.optim import make_optimizer
+    from nope_tpu.training.train_state import create_train_state
+
+    template = create_train_state(
+        task, make_optimizer(warm_up_steps=2), jax.random.key(0), image_size=32
+    )
+    mgr = CheckpointManager(osp.join(save_dir, "scratch", "checkpoints"))
+    saved = mgr.restore(jax.device_get(template))
+    mgr.close()
+    saved_leaves = jax.tree.leaves(saved.vae_params)
+    pretrained_leaves = jax.tree.leaves(restored)
+    init_leaves = jax.tree.leaves(jax.device_get(params["vae"]))
+    match_pre = all(
+        np.allclose(a, b) for a, b in zip(saved_leaves, pretrained_leaves)
+    )
+    match_init = all(
+        np.allclose(a, b) for a, b in zip(saved_leaves, init_leaves)
+    )
+    assert match_pre and not match_init
