@@ -230,8 +230,13 @@ def apply_overrides(cfg: ExperimentConfig, overrides: List[str]) -> ExperimentCo
         key, value = ov.split("=", 1)
         parts = key.split(".")
         obj = cfg
-        for p in parts[:-1]:
+        for i, p in enumerate(parts[:-1]):
             if isinstance(obj, dict):
+                if p not in obj and i > 0 and parts[i - 1] == "datasets":
+                    # "data.datasets.<name>.field=..." creates the
+                    # dataset entry on the fly — the documented CLI
+                    # idiom works without a --config file declaring it
+                    obj[p] = DatasetConfig(name=p)
                 obj = obj[p]
             else:
                 obj = getattr(obj, p)

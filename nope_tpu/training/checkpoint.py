@@ -64,10 +64,14 @@ class CheckpointManager:
         self._mgr.close()
 
 
-def save_params(path: str, params: Any) -> None:
-    """One-shot params save (e.g. exported/ported weights)."""
+def save_params(path: str, params: Any, overwrite: bool = False) -> None:
+    """One-shot params save (e.g. exported/ported weights).
+
+    ``overwrite`` replaces an existing checkpoint at ``path`` (orbax
+    refuses by default) — used by periodic re-saves of a running job.
+    """
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.abspath(path), params)
+    ckptr.save(os.path.abspath(path), params, force=overwrite)
     ckptr.wait_until_finished()
 
 

@@ -165,3 +165,17 @@ def test_machine_root_dir_override_wins_interpolation():
     )
     assert cfg.machine.root_dir == "/mnt/x"
     assert cfg.data.datasets["tless"].root_dir.startswith("/mnt/x/")
+
+
+def test_override_creates_missing_dataset_entry():
+    """The documented no---config idiom
+    ``data.datasets.shapeNet.root_dir=...`` must create the dataset
+    entry on the fly instead of raising KeyError."""
+    cfg = load_config(None, overrides=[
+        "data.datasets.shapeNet.root_dir=/data/nope/shapeNet",
+        "data.datasets.shapeNet.img_size=128",
+    ])
+    ds = cfg.data.datasets["shapeNet"]
+    assert ds.name == "shapeNet"
+    assert ds.root_dir == "/data/nope/shapeNet"
+    assert ds.img_size == 128

@@ -229,3 +229,16 @@ def test_pretrain_vae_cli(train_root, tmp_path):
         np.allclose(a, b) for a, b in zip(saved_leaves, init_leaves)
     )
     assert match_pre and not match_init
+
+
+def test_pretrain_vae_cli_rejects_existing_out(train_root, tmp_path):
+    """The destination is validated BEFORE training: an existing --out
+    without --overwrite must fail fast, not after a long run."""
+    import pytest
+
+    from nope_tpu.cli.pretrain_vae import main as pretrain_main
+
+    out = tmp_path / "exists"
+    out.mkdir()
+    with pytest.raises(SystemExit):
+        pretrain_main(["--steps", "1", "--out", str(out)])
