@@ -125,11 +125,6 @@ def main(argv=None):
 
     t0 = time.perf_counter()
     step = 0
-    # pre-clear the destination so periodic saves can overwrite freely
-    if os.path.exists(out) and args.overwrite:
-        import shutil
-
-        shutil.rmtree(out)
     for images in device_prefetch(sharded, sharding=None, depth=2):
         if step >= args.steps:
             break
