@@ -163,6 +163,24 @@ def install() -> None:
         transforms = _module("pytorch3d.transforms")
         transforms.so3_relative_angle = so3_relative_angle
         transforms.acos_linear_extrapolation = _acos_linear_extrapolation
+
+        def matrix_to_rotation_6d(matrix: torch.Tensor) -> torch.Tensor:
+            # pytorch3d semantics: first two ROWS flattened
+            # (rotation_conversions.py:490-503)
+            return matrix[..., :2, :].reshape(*matrix.shape[:-2], 6)
+
+        def _unused(name):
+            def fn(*args, **kwargs):
+                raise NotImplementedError(
+                    f"pytorch3d.transforms.{name} stub: imported by the "
+                    "reference dataloader but not exercised by parity tests"
+                )
+
+            return fn
+
+        transforms.matrix_to_rotation_6d = matrix_to_rotation_6d
+        transforms.matrix_to_quaternion = _unused("matrix_to_quaternion")
+        transforms.matrix_to_euler_angles = _unused("matrix_to_euler_angles")
         p3d.transforms = transforms
 
     if "einops_exts" not in sys.modules:
@@ -233,6 +251,7 @@ _REFERENCE_MODULES = (
     "src.model.encoder.template",
     "src.model.utils",
     "src.utils.inout",
+    "src.dataloader.shapeNet",
 )
 
 # stubs that must NOT stay importable: nope_tpu probes these with
