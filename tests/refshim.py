@@ -213,6 +213,17 @@ def install() -> None:
         if name not in sys.modules:
             mod = _module(name)
             mod.__getattr__ = _sink_getattr
+            if name == "trimesh":
+                # trimesh_utils.as_mesh isinstance-checks these; they
+                # must be real classes (a sink is not a type)
+                mod.Scene = type("Scene", (), {})
+                mod.Trimesh = type("Trimesh", (), {})
+            if name == "ruamel_yaml":
+                # inout.load_json parses with ruamel's yaml.load; the
+                # files under test are plain JSON (a YAML subset)
+                import json as _json
+
+                mod.load = lambda f, Loader=None, **k: _json.load(f)
 
     if "omegaconf" not in sys.modules:
         oc = _module("omegaconf")
@@ -252,6 +263,7 @@ _REFERENCE_MODULES = (
     "src.model.utils",
     "src.utils.inout",
     "src.dataloader.shapeNet",
+    "src.dataloader.bop",
 )
 
 # stubs that must NOT stay importable: nope_tpu probes these with

@@ -145,3 +145,123 @@ def test_item_pose_math_matches_reference(tmp_path):
             atol=1e-6,
         )
         assert float(ref_item["symmetry"]) == float(our_item["symmetry"])
+
+
+def _bop_root_with_templates(tmp_path, name, all_visible):
+    """make_mini_bop + the per-scene template_level2.json both readers
+    consume + a template_dir with obj_poses.npy."""
+    import json
+
+    from nope_tpu.geometry import so3_grid
+    from tests.fixtures import make_mini_bop
+
+    root = make_mini_bop(
+        str(tmp_path / name), n_frames=8, split="train_primesense", img_px=32
+    )
+    scene = osp.join(root, "train_primesense", "000001")
+    with open(osp.join(scene, "scene_gt_info.json")) as f:
+        info = json.load(f)
+    for frame_id, frame in info.items():
+        for obj in frame:
+            # occlude a MIDDLE frame so the keep-first-90% subsample
+            # cannot coincidentally remove it on both sides
+            obj["visib_fract"] = 0.5 if (not all_visible and frame_id == "2") else 1.0
+    with open(osp.join(scene, "scene_gt_info.json"), "w") as f:
+        json.dump(info, f)
+    finder = so3_grid.NearestTemplateFinder(
+        level_templates=2, pose_distribution="upper", return_inplane=True
+    )
+    with open(osp.join(scene, "scene_gt.json")) as f:
+        gt = json.load(f)
+    templates = {}
+    for frame_id, objs in gt.items():
+        entries = []
+        for obj in objs:
+            pose = np.eye(4, dtype=np.float32)
+            pose[:3, :3] = np.asarray(obj["cam_R_m2c"]).reshape(3, 3)
+            pose[:3, 3] = obj["cam_t_m2c"]
+            idx, inplane = finder.search_nearest_template(pose[None])
+            entries.append(
+                {
+                    "obj_id": obj["obj_id"],
+                    "idx_template": int(idx[0]),
+                    "inplane": float(inplane[0]),
+                }
+            )
+        templates[frame_id] = entries
+    with open(osp.join(scene, "template_level2.json"), "w") as f:
+        json.dump(templates, f)
+
+    tdir = str(tmp_path / f"{name}_templates")
+    os.makedirs(tdir, exist_ok=True)
+    from nope_tpu.geometry.so3_grid import get_obj_poses_from_template_level
+
+    np.save(osp.join(tdir, "obj_poses.npy"),
+            get_obj_poses_from_template_level(2, "all"))
+    return root, tdir
+
+
+def test_bop_metadata_pipeline_matches_reference(tmp_path):
+    """The reference's own BOPDataset (baseBOP metaData scan + seeded
+    subsample + upper filter) vs ours on an identical BOP root: the
+    surviving (scene, frame, obj, idx_obj, idx_template, inplane)
+    sequences must match when every frame is fully visible."""
+    refshim.install()
+    import src.dataloader.baseBOP as ref_basebop
+    from src.dataloader.bop import BOPDataset as RefBOP
+
+    from nope_tpu.data.bop import BOPDataset
+
+    # the fixture CAD is a stub ply; mesh geometry is irrelevant to the
+    # metaData pipeline under comparison
+    ref_basebop.load_mesh = lambda path, **k: None
+
+    root, tdir = _bop_root_with_templates(tmp_path, "vis", all_visible=True)
+    ref = RefBOP(
+        root_dir=root, template_dir=tdir, split="train_primesense",
+        obj_ids=None, img_size=32, reset_metaData=True,
+    )
+    ours = BOPDataset(
+        root_dir=root, template_dir=tdir, split="train_primesense",
+        obj_ids=None, img_size=32, reset_metaData=True,
+    )
+    cols = ["scene_id", "frame_id", "obj_id", "idx_obj", "idx_template", "inplane"]
+    ref_rows = [tuple(ref.metaData.iloc[i][c] for c in cols) for i in range(len(ref.metaData))]
+    our_rows = [tuple(ours.metaData.iloc[i][c] for c in cols) for i in range(len(ours.metaData))]
+    assert len(ref_rows) > 0
+    assert [tuple(map(str, r)) for r in ref_rows] == [
+        tuple(map(str, r)) for r in our_rows
+    ]
+
+
+def test_bop_visib_filter_divergence_pinned(tmp_path):
+    """Reference bug, pinned not reproduced: baseBOP.py:199 tests
+    membership of the TYPO key "visib_fact" before reading
+    "visib_fract", so every row silently gets visib_fract=1.0 and the
+    training occlusion filter (bop.py:153) can never fire.  We read the
+    real value — on a root with one occluded frame the reference keeps
+    it, we drop it."""
+    refshim.install()
+    import src.dataloader.baseBOP as ref_basebop
+    from src.dataloader.bop import BOPDataset as RefBOP
+
+    from nope_tpu.data.bop import BOPDataset
+
+    ref_basebop.load_mesh = lambda path, **k: None
+
+    root, tdir = _bop_root_with_templates(tmp_path, "occ", all_visible=False)
+    ref = RefBOP(
+        root_dir=root, template_dir=tdir, split="train_primesense",
+        obj_ids=None, img_size=32, reset_metaData=True,
+    )
+    ours = BOPDataset(
+        root_dir=root, template_dir=tdir, split="train_primesense",
+        obj_ids=None, img_size=32, reset_metaData=True,
+    )
+    # the reference recorded 1.0 for every row, including the occluded one
+    assert set(np.asarray(ref.metaData["visib_fract"])) == {1.0}
+    # so its occlusion filter kept frame 2; ours (the evident intent)
+    # read the real 0.5 and dropped it
+    assert 2 in set(np.asarray(ref.metaData["frame_id"], int))
+    assert 2 not in set(np.asarray(ours.metaData["frame_id"], int))
+    assert len(ref.metaData) > len(ours.metaData)
