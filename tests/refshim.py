@@ -264,6 +264,7 @@ _REFERENCE_MODULES = (
     "src.utils.inout",
     "src.dataloader.shapeNet",
     "src.dataloader.bop",
+    "src.dataloader.objaverse",
 )
 
 # stubs that must NOT stay importable: nope_tpu probes these with

@@ -265,3 +265,49 @@ def test_bop_visib_filter_divergence_pinned(tmp_path):
     assert 2 in set(np.asarray(ref.metaData["frame_id"], int))
     assert 2 not in set(np.asarray(ours.metaData["frame_id"], int))
     assert len(ref.metaData) > len(ours.metaData)
+
+
+def test_objaverse_metadata_and_pose_math_matches_reference(tmp_path):
+    """The reference's own Objaverse reader vs ours: the 10-image
+    validity filter selects the same query universe, and the relative
+    pose math agrees to 1e-6 on identical (query, reference) pairs."""
+    import json
+
+    refshim.install()
+    from src.dataloader.objaverse import Objaverse as RefObjaverse
+
+    from nope_tpu.data.objaverse import ObjaverseDataset
+    from tests.fixtures import make_mini_objaverse
+
+    root = make_mini_objaverse(str(tmp_path / "objv"), n_objects=3, img_px=32)
+    # an invalid object: one render missing -> both readers must drop it
+    os.remove(osp.join(root, "images", "obj_000002", "3.png"))
+    with open(osp.join(root, "filtered_uids.txt"), "w") as f:
+        f.write("uid0\nuid1\nuid2\n")
+    with open(osp.join(root, "object_paths.json"), "w") as f:
+        json.dump({}, f)
+
+    random.seed(2023)
+    ref_ds = RefObjaverse(root_dir=root, img_size=32)
+    ref_q = {osp.relpath(p, root) for p in ref_ds.query_paths}
+
+    # ours rebuilds the cache rather than inheriting the reference's
+    os.remove(osp.join(root, "img_path.txt"))
+    ours = ObjaverseDataset(root, img_size=32)
+    our_q = {osp.relpath(p, root) for p in ours.query_paths}
+    assert ref_q == our_q
+    assert not any("obj_000002" in p for p in our_q)
+
+    # pose math on identical pairs: feed OUR deterministic choice of
+    # (query, reference) through the reference's own process()
+    for index in (0, len(ours) - 1):
+        qp = ours.query_paths[index]
+        rp = ours.sample_reference(qp, index)
+        our_item = ours[index]
+        _, _, ref_rel, ref_rel_inv = ref_ds.process(qp, rp)
+        np.testing.assert_allclose(
+            np.asarray(ref_rel), our_item["relativeR"], atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref_rel_inv), our_item["relativeR_inv"], atol=1e-6
+        )
