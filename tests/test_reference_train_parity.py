@@ -254,3 +254,59 @@ def test_lr_sequence_vs_reference_source(base_lr, warm_up, spe, total):
     )
     got = np.array([float(sched(s)) for s in range(total)])
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=0)
+
+
+def test_template_sweep_and_retrieval_vs_reference_source(tmp_path):
+    """The eval hot path, end-to-end vs the EXECUTED reference: its
+    sequential ``generate_templates`` loop + ``retrieval``
+    (``model.py:193-266``) against our one-program batched bank (and the
+    chunked + streaming variants) with the same ported weights — the
+    equivalence that licenses replacing the reference's N-forward Python
+    loop with a single device program."""
+    ref_model, task, params = _build_pair("l1", True, tmp_path)
+
+    from nope_tpu.geometry.rotations import (
+        matrix_to_rotation_6d,
+        random_rotations,
+    )
+
+    rng = np.random.default_rng(11)
+    B, N = 2, 8
+    reference = rng.uniform(-1, 1, (B, IMG, IMG, 3)).astype(np.float32)
+    query = rng.uniform(-1, 1, (B, IMG, IMG, 3)).astype(np.float32)
+    mats = random_rotations(jax.random.key(3), B * N)
+    bank_R = np.asarray(matrix_to_rotation_6d(mats), np.float32).reshape(B, N, 6)
+
+    t_ref = torch.from_numpy(reference).permute(0, 3, 1, 2).contiguous()
+    t_query = torch.from_numpy(query).permute(0, 3, 1, 2).contiguous()
+    with torch.no_grad():
+        feat_bank, pred_templates, _ = ref_model.generate_templates(
+            t_ref, torch.from_numpy(bank_R), gt_templates=None, visualize=False
+        )
+        want_sim, want_idx = ref_model.retrieval(t_query, feat_bank)
+    assert pred_templates is None  # toy encoder has no decode path
+
+    with jax.default_matmul_precision("highest"):
+        bank = task.generate_template_bank(
+            params, jnp.asarray(reference), jnp.asarray(bank_R)
+        )
+        got_sim, got_idx = task.retrieval(params, jnp.asarray(query), bank)
+        chunked = task.generate_template_bank(
+            params, jnp.asarray(reference), jnp.asarray(bank_R), chunk_size=4
+        )
+        stream_sim, stream_idx = task.retrieve_streaming(
+            params, jnp.asarray(query), jnp.asarray(reference),
+            jnp.asarray(bank_R), chunk_size=4,
+        )
+
+    # bank entries: ours NHWC, reference NCHW
+    np.testing.assert_allclose(
+        np.asarray(bank),
+        feat_bank.numpy().transpose(0, 1, 3, 4, 2),
+        atol=2e-4,
+    )
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(bank), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_sim), want_sim.numpy(), atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(got_idx), want_idx.numpy())
+    np.testing.assert_allclose(np.asarray(stream_sim), np.asarray(got_sim), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(stream_idx), np.asarray(got_idx))
