@@ -182,3 +182,25 @@ def test_registry_save_load_roundtrip(estimator, tmp_path, rng):
     with pytest.raises(ValueError, match="different template grid"):
         other.load_registry(reg)
     estimator.deregister_object("persist")
+
+
+def test_uint8_inputs_match_prenormalized_floats(estimator, rng):
+    """uint8 images ship verbatim and normalise on device (4x less
+    host->device traffic); retrieval must match the same images
+    pre-normalised to floats on the host."""
+    ref_u8 = rng.integers(0, 256, (IMG, IMG, 3), dtype=np.uint8)
+    ref_f32 = ref_u8.astype(np.float32) / 127.5 - 1.0
+    estimator.register_object("u8", ref_u8)
+    estimator.register_object("f32", ref_f32)
+    np.testing.assert_allclose(
+        np.asarray(estimator._banks["u8"], np.float32),
+        np.asarray(estimator._banks["f32"], np.float32),
+        atol=1e-2,
+    )
+    q_u8 = rng.integers(0, 256, (2, IMG, IMG, 3), dtype=np.uint8)
+    r_u8 = estimator.estimate("u8", q_u8)
+    r_f32 = estimator.estimate("f32", q_u8.astype(np.float32) / 127.5 - 1.0)
+    np.testing.assert_array_equal(r_u8.nearest_idx, r_f32.nearest_idx)
+    np.testing.assert_allclose(r_u8.similarity, r_f32.similarity, rtol=2e-2)
+    estimator.deregister_object("u8")
+    estimator.deregister_object("f32")
