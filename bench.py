@@ -18,6 +18,12 @@ Two execution models of the SAME work run on the SAME chip:
 ``vs_baseline`` is the throughput ratio optimized/baseline, i.e. the
 measured speedup toward the BASELINE.json >=10x north star.
 
+The baseline denominator is FROZEN (``FROZEN_BASELINE``): the sequential
+loop's ~56 host dispatches make its live timing hostage to tunnel
+weather (round 1/2 driver runs swung 15.5x-25.6x across identical
+code), while the optimized numerator is stable to <0.5%.  Pass
+``--remeasure-baseline`` to time the reference shape live instead.
+
 Prints exactly one JSON line.  ``--tiny`` shrinks the model for smoke
 runs on CPU; real numbers come from the driver's TPU run.
 """
@@ -29,6 +35,18 @@ import json
 import time
 
 import numpy as np
+
+# Median of 5 dedicated runs on the target v5e chip (2026-08-17, warm
+# compile cache, 3 fenced iterations each; runs: 5.3785 / 5.2329 /
+# 5.0912 / 5.1925 / 5.6645 img/s).  Config: full flagship model
+# (192-dim U-Net + SD-VAE at 256^2), N=26 fast-eval grid, fp32, per-image
+# sequential template loop with per-iteration reference re-encode — the
+# reference's model.py:193-252 execution shape.
+FROZEN_BASELINE = {
+    "images_per_sec": 5.2329,
+    "measured": "2026-08-17",
+    "runs": [5.3785, 5.2329, 5.0912, 5.1925, 5.6645],
+}
 
 
 def build(tiny: bool):
@@ -107,6 +125,9 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--fp32-only", action="store_true",
                     help="skip the bf16 headline (fp32 parity anchor only)")
+    ap.add_argument("--remeasure-baseline", action="store_true",
+                    help="time the reference execution shape live instead "
+                         "of using the frozen committed median")
     args = ap.parse_args()
 
     from nope_tpu.utils.env import enable_compilation_cache
@@ -175,14 +196,19 @@ def main():
             outs.append(ref_score(params, query[b : b + 1], bank_1))
         return outs
 
-    # median over >=3 measured baseline iterations: single-iteration
-    # baselines showed 13-28x run-to-run vs_baseline variance from
-    # tunnel dispatch noise
-    t_base = time_fn(baseline, params, reference, query, bank_R,
-                     iters=max(3, args.iters // 2))
-
     imgs_per_sec = opt_batch / t_opt
-    base_imgs_per_sec = baseline_batch / t_base
+    if args.tiny or args.remeasure_baseline:
+        # live baseline: median over >=3 iterations (single-iteration
+        # baselines showed 13-28x run-to-run variance from tunnel
+        # dispatch noise); always live in --tiny CPU smoke mode where
+        # the frozen TPU constant is meaningless
+        t_base = time_fn(baseline, params, reference, query, bank_R,
+                         iters=max(3, args.iters // 2))
+        base_imgs_per_sec = baseline_batch / t_base
+        baseline_provenance = "live"
+    else:
+        base_imgs_per_sec = FROZEN_BASELINE["images_per_sec"]
+        baseline_provenance = f"frozen {FROZEN_BASELINE['measured']}"
     mode = "fp32" if args.fp32_only else "bf16"
     print(
         json.dumps(
@@ -194,6 +220,7 @@ def main():
                 "vs_baseline": round(imgs_per_sec / base_imgs_per_sec, 3),
                 "fp32_images_per_sec": round(fp32_batch / t_fp32, 4),
                 "baseline_images_per_sec": round(base_imgs_per_sec, 4),
+                "baseline_provenance": baseline_provenance,
                 "backend": jax.default_backend(),
             }
         )

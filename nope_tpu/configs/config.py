@@ -235,7 +235,16 @@ def apply_overrides(cfg: ExperimentConfig, overrides: List[str]) -> ExperimentCo
                 if p not in obj and i > 0 and parts[i - 1] == "datasets":
                     # "data.datasets.<name>.field=..." creates the
                     # dataset entry on the fly — the documented CLI
-                    # idiom works without a --config file declaring it
+                    # idiom works without a --config file declaring it.
+                    # Warn loudly: a typo'd dataset name would otherwise
+                    # surface much later as an unrelated loader error.
+                    import logging
+
+                    logging.warning(
+                        "override %r creates NEW dataset entry %r "
+                        "(known: %s) — check for typos", ov, p,
+                        sorted(obj) or "none",
+                    )
                     obj[p] = DatasetConfig(name=p)
                 obj = obj[p]
             else:

@@ -51,10 +51,13 @@ def download_file(url: str, dest: str, chunk: int = 1 << 20) -> str:
 
 
 def extract_archive(archive: str, dest_dir: str, unzip_mode: str = "unzip") -> None:
-    """Extract zip/tar archives (``unzip_mode`` mirrors the reference's
-    field; anything but 'unzip'/'tar' is treated as no-op raw data)."""
+    """Extract zip/tar archives.  The archive's own extension decides the
+    format; ``unzip_mode`` (mirroring the reference's field) is only a
+    hint for extension-less files — so a ``.tar.gz`` under the default
+    ``unzip`` mode extracts as tar instead of failing with BadZipFile."""
     os.makedirs(dest_dir, exist_ok=True)
-    if unzip_mode == "unzip" or archive.endswith(".zip"):
+    is_tar = archive.endswith((".tar", ".tar.gz", ".tgz"))
+    if archive.endswith(".zip") or (unzip_mode == "unzip" and not is_tar):
         import zipfile
 
         with zipfile.ZipFile(archive) as zf:
@@ -64,7 +67,7 @@ def extract_archive(archive: str, dest_dir: str, unzip_mode: str = "unzip") -> N
                 if os.path.isabs(member) or ".." in member.split("/"):
                     raise ValueError(f"unsafe path in archive: {member!r}")
             zf.extractall(dest_dir)
-    elif unzip_mode == "tar" or archive.endswith((".tar", ".tar.gz", ".tgz")):
+    elif is_tar or unzip_mode == "tar":
         import tarfile
 
         with tarfile.open(archive) as tf:

@@ -128,6 +128,14 @@ class PoseEstimator:
         arr = np.asarray(images)
         if arr.dtype == np.uint8:
             return jnp.asarray(arr)
+        if np.issubdtype(arr.dtype, np.integer):
+            # only uint8 has a defined on-device normalisation; any other
+            # integer input would silently cast to float un-normalised
+            # and produce garbage similarities
+            raise TypeError(
+                f"integer image dtype {arr.dtype} unsupported: pass uint8 "
+                "(normalised on device) or float images already in [-1, 1]"
+            )
         return jnp.asarray(arr, self._image_dtype)
 
     def _pose_representation(self, rel: jax.Array) -> jax.Array:

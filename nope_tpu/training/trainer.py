@@ -53,9 +53,10 @@ class MetricLogger:
         self._wandb = None
         if wandb_project:
             # the env-var handoff is the reference's own mechanism
-            # (train.py:34); restore the previous value if init fails so
-            # a dead sink doesn't leak the credential to later code and
-            # child processes
+            # (train.py:34); ALWAYS restore the previous value afterwards
+            # (wandb keeps the key internally once initialised) so the
+            # credential never stays exported to later code and child
+            # processes
             prev_key = os.environ.get("WANDB_API_KEY")
             try:
                 if wandb_api_key:
@@ -66,13 +67,14 @@ class MetricLogger:
                     project=wandb_project, dir=save_dir, config=wandb_config or {}
                 )
             except Exception as e:
+                logging.warning("wandb requested but unavailable (%s); "
+                                "logging to JSONL/TB only", e)
+            finally:
                 if wandb_api_key:
                     if prev_key is None:
                         os.environ.pop("WANDB_API_KEY", None)
                     else:
                         os.environ["WANDB_API_KEY"] = prev_key
-                logging.warning("wandb requested but unavailable (%s); "
-                                "logging to JSONL/TB only", e)
 
     def log(self, step: int, metrics: Dict[str, float]) -> None:
         record = {"step": int(step)}

@@ -179,3 +179,19 @@ def test_override_creates_missing_dataset_entry():
     assert ds.name == "shapeNet"
     assert ds.root_dir == "/data/nope/shapeNet"
     assert ds.img_size == 128
+
+
+def test_override_new_dataset_entry_warns(caplog):
+    """Synthesizing a dataset entry from a dotted override works (the
+    documented CLI idiom) but WARNS, so a typo'd dataset name surfaces
+    at parse time instead of as a downstream loader error."""
+    import logging
+
+    cfg = ExperimentConfig()
+    with caplog.at_level(logging.WARNING):
+        apply_overrides(cfg, ["data.datasets.shapenett.root_dir=/tmp/x"])
+    assert "shapenett" in cfg.data.datasets
+    assert any(
+        "creates NEW dataset entry" in r.message and "shapenett" in r.message
+        for r in caplog.records
+    )

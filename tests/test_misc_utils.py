@@ -89,6 +89,7 @@ def test_metric_logger_wandb_adapter(tmp_path, monkeypatch):
     fake.init = lambda **kw: FakeRun()
     fake.Image = lambda path: ("image", path)
     monkeypatch.setitem(sys.modules, "wandb", fake)
+    monkeypatch.delenv("WANDB_API_KEY", raising=False)
 
     logger = MetricLogger(
         str(tmp_path / "w"), wandb_project="proj", wandb_api_key="key"
@@ -102,8 +103,11 @@ def test_metric_logger_wandb_adapter(tmp_path, monkeypatch):
     assert calls["logged"][0] == (3, {"loss/train_avg": 0.5})
     assert calls["logged"][1] == (3, {"reconstruction/train_ds": ("image", str(img))})
     assert calls["finished"] == [True]
+    # the credential must NOT stay exported after init (wandb keeps it
+    # internally once initialised; leaving it in os.environ would leak
+    # it to every child process — round-2 advisor finding)
     import os
-    assert os.environ.get("WANDB_API_KEY") == "key"
+    assert os.environ.get("WANDB_API_KEY") is None
 
     # no wandb installed -> silent JSONL/TB fallback
     monkeypatch.delitem(sys.modules, "wandb")

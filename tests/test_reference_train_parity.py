@@ -124,7 +124,11 @@ def _build_pair(loss_type: str, use_inv: bool, tmp_path):
         _ToyFlaxEncoder(),
         TaskConfig(loss_type=loss_type, use_inv_deltaR=use_inv),
     )
-    sd = {k: v.detach().numpy() for k, v in t_unet.state_dict().items()}
+    # .copy() is load-bearing: torch-backed numpy views are 64-byte
+    # aligned, so jnp.asarray ZERO-COPIES them on the CPU backend — a
+    # later in-place torch optimizer step would silently mutate the
+    # "initial" jax params (caught by the trajectory-parity test)
+    sd = {k: v.detach().numpy().copy() for k, v in t_unet.state_dict().items()}
     params = {
         "unet": jax.tree.map(jnp.asarray, port.port_pose_unet(sd, dim_mults=(1, 2))),
         "vae": {"proj": {"kernel": jnp.asarray(w)}},
@@ -254,6 +258,137 @@ def test_lr_sequence_vs_reference_source(base_lr, warm_up, spe, total):
     )
     got = np.array([float(sched(s)) for s in range(total)])
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=0)
+
+
+# ---------------------------------------------------------------------------
+# Multi-step training-TRAJECTORY parity (round-3: the things a 1-step
+# check cannot see — AdamW weight-decay coupling, warmup x milestone
+# interplay, symmetrized-gradient accumulation over real updates)
+# ---------------------------------------------------------------------------
+
+
+def test_training_trajectory_parity_vs_reference_source(tmp_path):
+    """Run the reference's OWN training loop — ``training_step`` (with
+    its in-step ``warm_up_lr`` overwrite), real ``torch.optim.AdamW``
+    from ``configure_optimizers``, ``MultiStepLR`` stepped per epoch
+    (``model.py:70-94,126-137,169-182``) — for 40 optimizer steps on a
+    fixed batch stream, against :func:`make_train_step` +
+    :func:`make_optimizer` from identical ported init.  Asserts the
+    per-step loss trajectories track inside an fp32-drift envelope and
+    the final weights retrieve identical template indices.
+
+    Recipe deliberately spans the interesting regimes: warmup ends at
+    step 8, epochs are 2 steps, so the epoch-10 milestone halves the LR
+    at step 20 mid-trajectory; wd=1e-2 makes the decoupled-decay
+    coupling numerically visible.  Envelope (documented in
+    docs/PARITY.md): per-step |Δloss| <= 1e-4 + 2e-4·(step/10);
+    measured max drift is 1.7e-6 (step 38) on CPU fp32 — the envelope
+    is ~50x headroom for platform variation, not the observed drift.
+    """
+    from nope_tpu.training.optim import make_optimizer
+    from nope_tpu.training.train_state import TrainState, make_train_step
+
+    ref_model, task, params = _build_pair("l1", True, tmp_path)
+
+    LR, WD, WARM, SPE, TOTAL = 1e-3, 1e-2, 8, 2, 40
+    ref_model.lr = LR
+    ref_model.weight_decay = WD
+    ref_model.warm_up_steps = WARM
+
+    def make_np_batch(step):
+        rng = np.random.default_rng(1000 + step)
+        return {
+            "query": rng.normal(size=(2, 3, IMG, IMG)).astype(np.float32),
+            "reference": rng.normal(size=(2, 3, IMG, IMG)).astype(np.float32),
+            "relativeR": rng.normal(size=(2, 6)).astype(np.float32),
+            "relativeR_inv": rng.normal(size=(2, 6)).astype(np.float32),
+        }
+
+    # ---- reference trajectory, driven as Lightning drives it ----------
+    [opt], [sched] = ref_model.configure_optimizers()
+    ref_model.trainer = types.SimpleNamespace(optimizers=[opt], global_step=0)
+    ref_losses = []
+    for step in range(TOTAL):
+        ref_model._shim_global_step = step
+        ref_model.trainer.global_step = step
+        b = make_np_batch(step)
+        batch_t = {"toy": {k: torch.from_numpy(v) for k, v in b.items()}}
+        opt.zero_grad()
+        loss = ref_model.training_step(batch_t, step)
+        loss.backward()
+        opt.step()
+        ref_losses.append(float(loss.detach()))
+        if (step + 1) % SPE == 0:
+            sched.step()
+
+    # ---- our trajectory from the same ported init ---------------------
+    tx = make_optimizer(
+        optim_name="AdamW", base_lr=LR, weight_decay=WD, warm_up_steps=WARM,
+        milestones_epochs=(10, 30, 50, 100), gamma=0.5, steps_per_epoch=SPE,
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        unet_params=params["unet"],
+        vae_params=params["vae"],
+        opt_state=tx.init(params["unet"]),
+    )
+    step_fn = make_train_step(task, tx)
+    my_losses = []
+    with jax.default_matmul_precision("highest"):
+        for step in range(TOTAL):
+            b = make_np_batch(step)
+            batch_j = {"toy": {
+                "query": jnp.asarray(np.transpose(b["query"], (0, 2, 3, 1))),
+                "reference": jnp.asarray(np.transpose(b["reference"], (0, 2, 3, 1))),
+                "relativeR": jnp.asarray(b["relativeR"]),
+                "relativeR_inv": jnp.asarray(b["relativeR_inv"]),
+            }}
+            state, metrics = step_fn(state, batch_j)
+            my_losses.append(float(metrics["loss/train_avg"]))
+
+    # per-step drift envelope: tight at step 0 (the single-step parity
+    # bound), growing linearly with accumulated fp32 divergence
+    ref_arr, my_arr = np.array(ref_losses), np.array(my_losses)
+    envelope = 1e-4 + 2e-4 * (np.arange(TOTAL) / 10.0)
+    drift = np.abs(ref_arr - my_arr)
+    assert (drift <= envelope).all(), (
+        f"trajectory diverged: max drift {drift.max():.2e} at step "
+        f"{int(drift.argmax())}, envelope there "
+        f"{envelope[drift.argmax()]:.2e}\nref={ref_losses}\nmine={my_losses}"
+    )
+    # the optimizer must actually have MOVED the weights (a frozen model
+    # would trivially "track"): the loss dropped visibly over 40 steps
+    # (random-noise toy data floors high; ~0.15 absolute is the real
+    # decrease at this scale)
+    assert ref_losses[-1] < ref_losses[0] - 0.05
+
+    # ---- final-step weights: retrieval indices must agree -------------
+    from nope_tpu.geometry.rotations import matrix_to_rotation_6d, random_rotations
+
+    rng = np.random.default_rng(77)
+    B, N = 2, 12
+    reference = rng.uniform(-1, 1, (B, IMG, IMG, 3)).astype(np.float32)
+    query = rng.uniform(-1, 1, (B, IMG, IMG, 3)).astype(np.float32)
+    mats = random_rotations(jax.random.key(9), B * N)
+    bank_R = np.asarray(matrix_to_rotation_6d(mats), np.float32).reshape(B, N, 6)
+
+    t_ref = torch.from_numpy(reference).permute(0, 3, 1, 2).contiguous()
+    t_query = torch.from_numpy(query).permute(0, 3, 1, 2).contiguous()
+    ref_model.eval()
+    with torch.no_grad():
+        feat_bank, _, _ = ref_model.generate_templates(
+            t_ref, torch.from_numpy(bank_R), gt_templates=None, visualize=False
+        )
+        want_sim, want_idx = ref_model.retrieval(t_query, feat_bank)
+
+    final_params = {"unet": state.unet_params, "vae": state.vae_params}
+    with jax.default_matmul_precision("highest"):
+        bank = task.generate_template_bank(
+            final_params, jnp.asarray(reference), jnp.asarray(bank_R)
+        )
+        got_sim, got_idx = task.retrieval(final_params, jnp.asarray(query), bank)
+    np.testing.assert_allclose(np.asarray(got_sim), want_sim.numpy(), atol=5e-3)
+    np.testing.assert_array_equal(np.asarray(got_idx), want_idx.numpy())
 
 
 def test_template_sweep_and_retrieval_vs_reference_source(tmp_path):

@@ -204,3 +204,18 @@ def test_uint8_inputs_match_prenormalized_floats(estimator, rng):
     np.testing.assert_allclose(r_u8.similarity, r_f32.similarity, rtol=2e-2)
     estimator.deregister_object("u8")
     estimator.deregister_object("f32")
+
+
+def test_non_uint8_integer_images_rejected(estimator, rng):
+    """Only uint8 has a defined on-device normalisation; other integer
+    dtypes must error instead of silently casting un-normalised
+    (round-2 advisor finding)."""
+    bad = rng.integers(0, 65535, (2, IMG, IMG, 3)).astype(np.int32)
+    with pytest.raises(TypeError, match="integer image dtype"):
+        estimator.register_object("bad", bad[0])
+    estimator.register_object(
+        "ok", rng.uniform(-1, 1, (IMG, IMG, 3)).astype(np.float32)
+    )
+    with pytest.raises(TypeError, match="integer image dtype"):
+        estimator.estimate("ok", bad.astype(np.uint16))
+    estimator.deregister_object("ok")

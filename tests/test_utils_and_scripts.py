@@ -352,3 +352,22 @@ def test_download_datasets_resume_and_errors(tmp_path, caplog):
 
     with pytest.raises(SystemExit):
         main(["--config", str(cfg_path), "--only", "nope_such_dataset"])
+
+
+def test_extract_archive_dispatches_on_extension(tmp_path):
+    """A .tar.gz under the default 'unzip' mode must extract as tar —
+    the archive's extension wins over the mode hint (round-2 advisor
+    finding: the old order raised BadZipFile)."""
+    import tarfile
+
+    from nope_tpu.scripts.download_datasets import extract_archive
+
+    payload = tmp_path / "payload.txt"
+    payload.write_text("hello")
+    tgz = tmp_path / "data.tar.gz"
+    with tarfile.open(tgz, "w:gz") as tf:
+        tf.add(payload, arcname="sub/payload.txt")
+
+    out = tmp_path / "out"
+    extract_archive(str(tgz), str(out), unzip_mode="unzip")
+    assert (out / "sub" / "payload.txt").read_text() == "hello"
