@@ -35,6 +35,12 @@ def _merge_across_processes(
     same shape)."""
     from jax.experimental import multihost_utils
 
+    from nope_tpu.parallel.mesh import process_barrier
+
+    # re-align ranks before the FIRST Gloo collective: compile-time skew
+    # between processes (warm vs cold persistent cache) easily exceeds
+    # Gloo's ~30 s context-rendezvous timeout
+    process_barrier("eval_merge")
     counts = np.asarray(
         multihost_utils.process_allgather(np.asarray([errors.shape[0]]))
     ).reshape(-1)

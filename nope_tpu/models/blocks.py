@@ -50,7 +50,7 @@ class ResnetBlock(nn.Module):
     h = block2(h); return h + res_conv(x)``.
 
     ``fused=True`` routes the whole block through the Pallas fused
-    kernel on TPU (:mod:`nope_tpu.ops.fused_resnet`): one VMEM-resident
+    kernel on TPU (:mod:`nope_tpu.ops.experimental.fused_resnet`): one VMEM-resident
     program instead of XLA materialising every conv/GroupNorm
     intermediate in HBM.  The parameter tree is identical in both modes
     (init always runs the module path); gradients flow through an exact
@@ -79,7 +79,7 @@ class ResnetBlock(nn.Module):
         return h + res
 
     def _apply_fused(self, x: jax.Array, emb: Optional[jax.Array]) -> jax.Array:
-        from nope_tpu.ops.fused_resnet import fused_resnet_block
+        from nope_tpu.ops.experimental.fused_resnet import fused_resnet_block
 
         p = self.variables["params"]
         kernel_params = {
@@ -142,7 +142,7 @@ class LinearAttention(nn.Module):
     context = k·vᵀ, out = contextᵀ·q, then 1x1 conv + GroupNorm(1).
 
     ``fused=True`` routes the inner chain through the Pallas kernel
-    (:mod:`nope_tpu.ops.linear_attention`) — one VMEM-resident pass
+    (:mod:`nope_tpu.ops.experimental.linear_attention`) — one VMEM-resident pass
     instead of XLA's multiple HBM round-trips."""
 
     heads: int = 4
@@ -158,7 +158,7 @@ class LinearAttention(nn.Module):
         qkv = qkv.reshape(b, n, hidden * 3)
 
         if self.fused:
-            from nope_tpu.ops.linear_attention import linear_attention_inner
+            from nope_tpu.ops.experimental.linear_attention import linear_attention_inner
 
             out = linear_attention_inner(qkv, self.heads, self.dim_head)
             out = out.reshape(b, hh, ww, hidden)

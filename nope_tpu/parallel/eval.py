@@ -15,7 +15,7 @@ from typing import Callable, Optional
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from nope_tpu.parallel.mesh import DATA_AXIS, TEMPLATE_AXIS
+from nope_tpu.parallel.mesh import DATA_AXIS, TEMPLATE_AXIS, process_barrier
 
 
 def make_sharded_streaming_eval_fn(
@@ -89,6 +89,8 @@ def make_sharded_streaming_eval_fn(
         out_shardings=(replicated, replicated),
     )
 
+    first_call = [True]
+
     def run(params, reference, query, bank_R):
         bank_R = jnp.asarray(bank_R)
         if bank_R.shape[1] % n_template:
@@ -97,10 +99,25 @@ def make_sharded_streaming_eval_fn(
                 f"template mesh axis ({n_template}); pick a mesh whose "
                 "template axis divides the grid size"
             )
+        if first_call[0]:
+            # replicated device_put runs a cross-process assert_equal
+            # all-gather — the process's first Gloo collective; align
+            # ranks past any model-init compile skew before it (Gloo's
+            # connect timeout is only ~30 s)
+            process_barrier("streaming_eval_put")
         params = jax.device_put(params, replicated)
         reference = jax.device_put(jnp.asarray(reference), batch_sharding)
         query = jax.device_put(jnp.asarray(query), batch_sharding)
         bank_R = jax.device_put(bank_R, bank_sharding)
+        if first_call[0]:
+            # same story for the first execution: compile first (warm-vs-
+            # cold persistent-cache skew between ranks dwarfs 30 s), then
+            # re-align, then run — the rendezvous starts simultaneously
+            # everywhere.
+            compiled = jitted.lower(params, reference, query, bank_R).compile()
+            process_barrier("streaming_eval")
+            first_call[0] = False
+            return compiled(params, reference, query, bank_R)
         return jitted(params, reference, query, bank_R)
 
     return run

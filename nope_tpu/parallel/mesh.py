@@ -45,6 +45,38 @@ def initialize_distributed(**kwargs) -> None:
         pass
 
 
+_BARRIER_COUNTS: dict = {}
+
+
+def process_barrier(tag: str = "nope", timeout_ms: int = 600_000) -> None:
+    """Align all processes at a named coordination-service barrier.
+
+    The first cross-process collective in a program triggers the CPU
+    backend's Gloo context rendezvous, whose connect timeout (~30 s) is
+    much shorter than realistic compile-time skew between ranks (on a
+    loaded host one rank can hit a warm persistent-compile cache while
+    another compiles cold for minutes).  A coordination-service barrier
+    — which rides the already-established distributed client, no Gloo —
+    re-aligns the ranks immediately before the collective so the
+    rendezvous starts simultaneously everywhere.  No-op single-process
+    and on backends without a distributed client (TPU runtimes hold
+    their own longer timeouts).
+    """
+    if jax.process_count() <= 1:
+        return
+    try:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+    except Exception:  # pragma: no cover - private API drift
+        return
+    if client is None:
+        return
+    # same call sequence on every process → same generated barrier ids
+    _BARRIER_COUNTS[tag] = _BARRIER_COUNTS.get(tag, 0) + 1
+    client.wait_at_barrier(f"{tag}:{_BARRIER_COUNTS[tag]}", timeout_ms)
+
+
 def create_mesh(
     data: Optional[int] = None,
     template: int = 1,

@@ -19,7 +19,7 @@ API::
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Any, Dict, Optional, Sequence
 
 import numpy as np
 import jax
@@ -28,6 +28,12 @@ import jax.numpy as jnp
 from nope_tpu.geometry import so3_grid
 from nope_tpu.geometry.rotations import matrix_to_rotation_6d
 from nope_tpu.geometry.transforms import relative_rotation_jax
+
+
+def _record_len(record) -> int:
+    """Leading (object) axis length of a stored bank record (array or
+    (int8, scale) tuple)."""
+    return jax.tree.leaves(record)[0].shape[0]
 
 
 @dataclasses.dataclass
@@ -62,7 +68,19 @@ class PoseEstimator:
         pose_distribution: str = "upper",
         fast_evaluation: bool = False,
         chunk_size: Optional[int] = None,
+        bank_dtype: str = "auto",
     ):
+        """``bank_dtype``: "auto" keeps banks in the serving dtype
+        (bf16/f32); "int8" stores each bank as int8 values + a
+        per-(template, channel) f32 scale — 2x (vs bf16) / 4x (vs f32)
+        less HBM per object, measured at throughput parity with perfect
+        top-1 agreement (guardrail in tests/test_serving.py).
+
+        Scoring is XLA-only: the channel-first Pallas alternative was
+        built, given its best-case home here, measured slower end-to-end
+        (docs/PERFORMANCE.md round-3), and retired to
+        :mod:`nope_tpu.ops.experimental.pallas_similarity`.
+        """
         from nope_tpu.tasks.pose_conditional import cast_half
 
         self.task = task
@@ -74,6 +92,9 @@ class PoseEstimator:
         self._image_dtype = jnp.bfloat16 if self._half else jnp.float32
         self.params = cast_half(params) if self._half else params
         self.chunk_size = chunk_size
+        if bank_dtype not in ("auto", "int8"):
+            raise ValueError(f"bank_dtype must be 'auto' or 'int8', got {bank_dtype!r}")
+        self.bank_dtype = bank_dtype
 
         if fast_evaluation:
             indexes = so3_grid.load_index_level0_in_level2(pose_distribution)
@@ -81,7 +102,9 @@ class PoseEstimator:
         else:
             grid = so3_grid.get_obj_poses_from_template_level(level, pose_distribution)
         self.template_poses = grid[:, :3, :3].astype(np.float32)
-        self._banks: Dict[str, jax.Array] = {}
+        #: oid → stored bank record: (1, N, h, w, C) array for "auto",
+        #: ((1, N, h, w, C) int8, (1, N, 1, 1, C) f32 scale) for "int8"
+        self._banks: Dict[str, Any] = {}
         self._ref_poses: Dict[str, np.ndarray] = {}
 
         # uint8 inputs transfer as-is and normalise ON DEVICE: on
@@ -98,23 +121,63 @@ class PoseEstimator:
                 )
             return x
 
+        def _store(bank):
+            """Raw (M, N, h, w, C) bank → the storage record (still
+            inside the registration jit: quantize/transpose fuse into
+            the bank-producing program, zero extra dispatches)."""
+            if self.bank_dtype == "int8":
+                b32 = bank.astype(jnp.float32)
+                absmax = jnp.max(jnp.abs(b32), axis=(2, 3), keepdims=True)
+                scale = jnp.maximum(absmax, 1e-12) / 127.0  # (M, N, 1, 1, C)
+                q8 = jnp.clip(jnp.round(b32 / scale), -127, 127).astype(jnp.int8)
+                return q8, scale
+            return bank
+
+        def _dequant(record):
+            if self.bank_dtype == "int8":
+                q8, scale = record
+                return (q8.astype(jnp.float32) * scale).astype(self._image_dtype)
+            return record
+
+        self._dequant = _dequant
+
         # jitted programs (compiled once per shape); the bank broadcast
         # lives inside the jit so XLA never materialises per-query copies
         self._register_fn = jax.jit(
-            lambda p, ref, bank_R: task.generate_template_bank(
-                p, _norm(ref), bank_R, chunk_size=chunk_size
+            lambda p, ref, bank_R: _store(
+                task.generate_template_bank(p, _norm(ref), bank_R, chunk_size=chunk_size)
             ),
-            static_argnames=(),
         )
+
+        def _similarity(p, q, bank_b):
+            """(B,) queries vs per-query (B, N, ...) stored records →
+            (similarity, idx)."""
+            return task.retrieval(p, q, _dequant(bank_b))
 
         def _score(p, q, bank):
             q = _norm(q)
-            bank_b = jnp.broadcast_to(bank, (q.shape[0],) + bank.shape[1:])
-            return task.retrieval(p, q, bank_b)
+            bank_b = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (q.shape[0],) + x.shape[1:]), bank
+            )
+            return _similarity(p, q, bank_b)
+
+        def _score_many(p, q, banks, inv):
+            # banks: records stacked over M unique objects; inv: (B,)
+            # query→object map.  The gather happens on device inside the
+            # one scoring program.
+            q = _norm(q)
+            bank_b = jax.tree.map(lambda x: jnp.take(x, inv, axis=0), banks)
+            return _similarity(p, q, bank_b)
 
         self._score_fn = jax.jit(_score)
+        self._score_many_fn = jax.jit(_score_many)
         self._split_fn = jax.jit(
-            lambda b: tuple(b[i : i + 1] for i in range(b.shape[0]))
+            lambda b: tuple(
+                jax.tree.map(lambda x: x[i : i + 1], b) for i in range(_record_len(b))
+            )
+        )
+        self._concat_fn = jax.jit(
+            lambda parts: jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
         )
 
     @property
@@ -225,11 +288,19 @@ class PoseEstimator:
         import os
 
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-        payload = {"__template_poses__": self.template_poses}
+        payload = {
+            "__template_poses__": self.template_poses,
+            "__bank_dtype__": np.asarray(self.bank_dtype),
+        }
         for oid, bank in self._banks.items():
-            # persist f32 regardless of serving dtype (npz + bf16 custom
-            # dtypes don't round-trip portably); cast back at load
-            payload[f"bank:{oid}"] = np.asarray(bank, np.float32)
+            if self.bank_dtype == "int8":
+                q8, scale = bank
+                payload[f"bank_q8:{oid}"] = np.asarray(q8)  # int8 verbatim
+                payload[f"scale:{oid}"] = np.asarray(scale, np.float32)
+            else:
+                # persist f32 regardless of serving dtype (npz + bf16
+                # custom dtypes don't round-trip portably); cast at load
+                payload[f"bank:{oid}"] = np.asarray(bank, np.float32)
             payload[f"pose:{oid}"] = self._ref_poses[oid]
         np.savez_compressed(path, **payload)
 
@@ -246,10 +317,24 @@ class PoseEstimator:
                     f"({saved_grid.shape} vs {self.template_poses.shape}); "
                     "construct the estimator with the same level/distribution"
                 )
+            files = set(data.files)
+            saved_dtype = str(data["__bank_dtype__"]) if "__bank_dtype__" in files else "auto"
+            if saved_dtype != self.bank_dtype:
+                raise ValueError(
+                    f"saved registry layout (bank_dtype={saved_dtype!r}) does "
+                    f"not match this estimator ({self.bank_dtype!r})"
+                )
             for key in data.files:
                 if key.startswith("bank:"):
                     oid = key[len("bank:"):]
                     self._banks[oid] = jnp.asarray(data[key], self._image_dtype)
+                    self._ref_poses[oid] = data[f"pose:{oid}"]
+                elif key.startswith("bank_q8:"):
+                    oid = key[len("bank_q8:"):]
+                    self._banks[oid] = (
+                        jnp.asarray(data[key]),
+                        jnp.asarray(data[f"scale:{oid}"]),
+                    )
                     self._ref_poses[oid] = data[f"pose:{oid}"]
 
     def estimate(self, object_id: str, query_images: np.ndarray) -> PoseEstimate:
@@ -261,12 +346,44 @@ class PoseEstimator:
         if queries.ndim == 3:
             queries = queries[None]
         sim, idx = self._score_fn(self.params, queries, bank)
+        return self._assemble(
+            sim, idx, np.broadcast_to(self._ref_poses[object_id], (sim.shape[0], 3, 3))
+        )
+
+    def estimate_many(
+        self, object_ids: Sequence[str], query_images: np.ndarray
+    ) -> PoseEstimate:
+        """Mixed-object batched estimation: query i is scored against the
+        bank of ``object_ids[i]``, all in ONE device program — a
+        deployment batch spanning the whole registered gallery costs one
+        dispatch instead of one per object id (per-dispatch latency is
+        ~25 ms on high-latency links).  The per-query bank gather over
+        the unique-object stack happens on device."""
+        queries = self._device_images(query_images)
+        if queries.ndim == 3:
+            queries = queries[None]
+        if len(object_ids) != queries.shape[0]:
+            raise ValueError(
+                f"{len(object_ids)} object ids for {queries.shape[0]} queries"
+            )
+        missing = [oid for oid in object_ids if oid not in self._banks]
+        if missing:
+            raise KeyError(f"objects not registered: {missing!r}")
+        uniq = list(dict.fromkeys(object_ids))  # order-preserving
+        inv = jnp.asarray([uniq.index(oid) for oid in object_ids], jnp.int32)
+        stacked = self._concat_fn([self._banks[oid] for oid in uniq])
+        sim, idx = self._score_many_fn(self.params, queries, stacked, inv)
+        ref_poses = np.stack([self._ref_poses[oid] for oid in object_ids])
+        return self._assemble(sim, idx, ref_poses)
+
+    def _assemble(self, sim, idx, ref_poses: np.ndarray) -> PoseEstimate:
         idx_np = np.asarray(idx)
         retrieved = self.template_poses[idx_np]  # (B, k, 3, 3)
-        ref_pose = self._ref_poses[object_id]
+        # per-query reference poses: ΔR_i = T_i · R_ref,iᵀ
+        rel = retrieved @ np.swapaxes(ref_poses, -1, -2)[:, None]
         return PoseEstimate(
             nearest_idx=idx_np,
-            relative_rotations=retrieved @ ref_pose.T,
+            relative_rotations=rel,
             rotations=retrieved,
             similarity=np.asarray(sim, np.float32),
             template_poses=self.template_poses,

@@ -19,8 +19,8 @@ unless noted):
   loss directions share VAE encodes (each image is encoded once) and the
   two U-Net forwards are stacked into one doubled batch; identical math
   because both directions are equal-size means (``model.py:126-137``).
-- **Retrieval** runs through :mod:`nope_tpu.ops.similarity` (fused
-  Pallas kernel on TPU) with the reference's exact scoring quirk.
+- **Retrieval** runs through :mod:`nope_tpu.ops.similarity` (XLA-fused
+  single-pass scoring) with the reference's exact scoring quirk.
 """
 
 from __future__ import annotations

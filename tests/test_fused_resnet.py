@@ -1,4 +1,4 @@
-"""Fused ResnetBlock kernel (ops/fused_resnet.py): interpret-mode
+"""Fused ResnetBlock kernel (ops/experimental/fused_resnet.py): interpret-mode
 parity vs the XLA reference, module wiring, and gradient exactness."""
 
 import numpy as np
@@ -7,7 +7,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from nope_tpu.ops.fused_resnet import (
+from nope_tpu.ops.experimental.fused_resnet import (
     fused_resnet_block,
     resnet_block_pallas,
     resnet_block_reference,

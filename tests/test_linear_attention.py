@@ -5,7 +5,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from nope_tpu.ops.linear_attention import (
+from nope_tpu.ops.experimental.linear_attention import (
     linear_attention_inner,
     linear_attention_inner_xla,
 )

@@ -252,3 +252,13 @@ def test_sharded_streaming_eval_rejects_indivisible_grid(task_and_params, rng):
     bank_R = jnp.zeros((b, n, 6))
     with pytest.raises(ValueError, match="not divisible by the template"):
         run(params, reference, query, bank_R)
+
+
+def test_process_barrier_single_process_noop():
+    """process_barrier must be a no-op outside a distributed job (the
+    common single-process path calls it unconditionally)."""
+    from nope_tpu.parallel.mesh import process_barrier
+
+    assert jax.process_count() == 1
+    process_barrier("unit")  # must not raise or block
+    process_barrier("unit")

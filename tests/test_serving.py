@@ -219,3 +219,89 @@ def test_non_uint8_integer_images_rejected(estimator, rng):
     with pytest.raises(TypeError, match="integer image dtype"):
         estimator.estimate("ok", bad.astype(np.uint16))
     estimator.deregister_object("ok")
+
+
+def _flag_task():
+    return PoseConditionalTask(
+        PoseUNet(u_net_dim=8, channels=4, dim_mults=(1, 2), resnet_block_groups=4),
+        StableDiffusionVAE(
+            block_out_channels=(8, 8, 8, 8), layers_per_block=1,
+            latent_channels=4, groups=4,
+        ),
+        TaskConfig(),
+    )
+
+
+def test_estimate_many_mixed_objects(estimator, rng):
+    """One dispatch scores a batch whose queries target DIFFERENT
+    registered objects; results must equal per-object estimate calls."""
+    refs = rng.uniform(-1, 1, (3, IMG, IMG, 3)).astype(np.float32)
+    estimator.register_objects(["ma", "mb", "mc"], refs)
+    queries = rng.uniform(-1, 1, (4, IMG, IMG, 3)).astype(np.float32)
+    ids = ["ma", "mb", "ma", "mc"]
+
+    many = estimator.estimate_many(ids, queries)
+    assert many.similarity.shape == (4, estimator.num_templates)
+    assert many.nearest_idx.shape == (4, 5)
+    for i, oid in enumerate(ids):
+        single = estimator.estimate(oid, queries[i : i + 1])
+        np.testing.assert_allclose(
+            many.similarity[i], single.similarity[0], rtol=2e-2, atol=1e-3
+        )
+        np.testing.assert_array_equal(many.nearest_idx[i], single.nearest_idx[0])
+        np.testing.assert_allclose(
+            many.relative_rotations[i], single.relative_rotations[0], atol=1e-6
+        )
+    with pytest.raises(KeyError, match="not registered"):
+        estimator.estimate_many(["ma", "nope"], queries[:2])
+    with pytest.raises(ValueError, match="object ids for"):
+        estimator.estimate_many(["ma"], queries)
+    for oid in ("ma", "mb", "mc"):
+        estimator.deregister_object(oid)
+
+
+def test_int8_banks_agree_with_full_precision(rng, tmp_path):
+    """int8 per-(template, channel)-scale banks: 4x smaller, top-1
+    retrieval must agree with the full-precision bank and similarities
+    stay close (the serving analogue of the bf16 guardrail in
+    tests/test_learning.py)."""
+    task = _flag_task()
+    params = task.init(jax.random.key(0), image_size=IMG)
+    full = PoseEstimator(task, params, fast_evaluation=True)
+    q8 = PoseEstimator(task, params, fast_evaluation=True, bank_dtype="int8")
+
+    refs = rng.uniform(-1, 1, (2, IMG, IMG, 3)).astype(np.float32)
+    full.register_objects(["a", "b"], refs)
+    q8.register_objects(["a", "b"], refs)
+
+    # storage really is int8 + scale
+    rec = q8._banks["a"]
+    assert rec[0].dtype == jnp.int8 and rec[1].dtype == jnp.float32
+    assert rec[0].nbytes == np.prod(rec[0].shape)  # 1 byte/entry
+
+    queries = rng.uniform(-1, 1, (6, IMG, IMG, 3)).astype(np.float32)
+    r_full = full.estimate("a", queries)
+    r_q8 = q8.estimate("a", queries)
+    agree = np.mean(r_full.nearest_idx[:, 0] == r_q8.nearest_idx[:, 0])
+    assert agree == 1.0, (r_full.nearest_idx[:, 0], r_q8.nearest_idx[:, 0])
+    np.testing.assert_allclose(
+        r_q8.similarity, r_full.similarity, rtol=3e-2, atol=2e-2
+    )
+
+    # estimate_many works on quantized records too
+    many = q8.estimate_many(["a", "b", "a"], queries[:3])
+    np.testing.assert_array_equal(
+        many.nearest_idx[0], q8.estimate("a", queries[:1]).nearest_idx[0]
+    )
+
+    # registry round-trip preserves the quantized form + layout guard
+    reg = str(tmp_path / "reg.npz")
+    q8.save_registry(reg)
+    fresh = PoseEstimator(task, params, fast_evaluation=True, bank_dtype="int8")
+    fresh.load_registry(reg)
+    np.testing.assert_array_equal(
+        np.asarray(fresh._banks["a"][0]), np.asarray(rec[0])
+    )
+    with pytest.raises(ValueError, match="layout"):
+        full2 = PoseEstimator(task, params, fast_evaluation=True)
+        full2.load_registry(reg)

@@ -7,6 +7,7 @@ import jax.numpy as jnp
 import torch
 
 from nope_tpu.ops import similarity as sim_ops
+from nope_tpu.ops.experimental import pallas_similarity
 
 
 def _torch_reference_similarity(query_nchw, bank_nchw):
@@ -42,7 +43,7 @@ def test_pallas_kernel_matches_xla(rng):
         sim_ops.reference_similarity_xla(jnp.asarray(q_nhwc), jnp.asarray(t_nhwc))
     )
     pallas = np.asarray(
-        sim_ops.reference_similarity_pallas(
+        pallas_similarity.reference_similarity_pallas(
             jnp.asarray(q_nhwc), jnp.asarray(t_nhwc), interpret=True
         )
     )
@@ -56,7 +57,7 @@ def test_pallas_kernel_uneven_block(rng):
         sim_ops.reference_similarity_xla(jnp.asarray(q_nhwc), jnp.asarray(t_nhwc))
     )
     pallas = np.asarray(
-        sim_ops.reference_similarity_pallas(
+        pallas_similarity.reference_similarity_pallas(
             jnp.asarray(q_nhwc), jnp.asarray(t_nhwc), interpret=True
         )
     )
