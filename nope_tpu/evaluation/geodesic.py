@@ -167,6 +167,35 @@ def evaluate_geodesic(
                         ],
                         os.path.join(save_dir, f"retrieved_{tag}_rank{rank}.png"),
                     )
+                    # text-labelled variant (visualization_utils.py:60-78),
+                    # matplotlib-gated like the reference
+                    try:
+                        from nope_tpu.utils.visualization import draw_grid_text
+
+                        n_show = min(4, valid)
+                        top1_sim = np.take_along_axis(
+                            np.asarray(out["similarity"])[:n_show],
+                            top1[:n_show, None],
+                            axis=1,
+                        )
+                        panel = np.stack(
+                            [
+                                unnormalize(batch["query"][:n_show]),
+                                unnormalize(batch["reference"][:n_show]),
+                                np.zeros_like(unnormalize(retrieved[:n_show])),
+                                unnormalize(retrieved[:n_show]),
+                            ],
+                            axis=1,
+                        )
+                        draw_grid_text(
+                            panel,
+                            top1_sim,
+                            os.path.join(
+                                save_dir, f"retrieved_text_{tag}_rank{rank}.png"
+                            ),
+                        )
+                    except ImportError:
+                        pass
                 except Exception as e:
                     logging.warning("retrieval panel failed: %s", e)
         # symmetry-aware top-k accuracies are recomputed globally below;

@@ -81,6 +81,52 @@ def similarity_heatmap(similarity: np.ndarray) -> np.ndarray:
     return stops[i0] * (1 - frac) + stops[i0 + 1] * frac
 
 
+def draw_grid_text(
+    images: np.ndarray,
+    texts: np.ndarray,
+    save_path: str,
+    dpi: int = 50,
+) -> str:
+    """Text-labelled retrieval panel (``visualization_utils.py:60-78``).
+
+    ``images`` is (B, N, H, W, 3) in [0, 1]: per row a query, a
+    reference, then retrieved templates; ``texts`` holds the retrieval
+    scores for the template columns. Reproduces the reference layout —
+    column 0 titled "Query", column 1 "Reference", columns >= 3 titled
+    ``Top {n-2}: {texts[b, n-3]:.03f}`` — including its quirk of leaving
+    cell 2 blank (the reference's ``if n != 2`` skips that subplot, so
+    the first retrieved template never renders; scores still index from
+    ``texts[b, 0]`` at column 3). Matplotlib-gated like the reference.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    images = np.asarray(images)
+    texts = np.asarray(texts)
+    B, N = images.shape[:2]
+    plt.figure(figsize=(5 * N, 5 * B))
+    for b in range(B):
+        for n in range(N):
+            if n == 2:
+                continue
+            plt.subplot(B, N, b * N + n + 1)
+            plt.imshow(np.clip(images[b, n], 0.0, 1.0))
+            plt.axis("off")
+            if n == 0:
+                plt.title("Query", fontsize=20)
+            elif n == 1:
+                plt.title("Reference", fontsize=20)
+            else:
+                plt.title(f"Top {n - 2}: {float(texts[b, n - 3]):.03f}", fontsize=30)
+    plt.subplots_adjust(wspace=0.1, hspace=0.15)
+    os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
+    plt.savefig(save_path, bbox_inches="tight", dpi=dpi)
+    plt.close("all")
+    return save_path
+
+
 def draw_pose_axes(
     img: np.ndarray, K: np.ndarray, pose: np.ndarray, length: float = 0.1
 ) -> np.ndarray:

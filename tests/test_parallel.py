@@ -198,6 +198,47 @@ def test_sharded_eval_harness_with_streaming_chunks(task_and_params, rng):
         np.testing.assert_allclose(streamed[key], plain[key], rtol=1e-4, err_msg=key)
 
 
+def test_eval_save_dir_dumps_and_panels(task_and_params, rng, tmp_path):
+    """save_dir produces the per-batch .npz dumps plus both retrieval
+    panels (plain grid + the text-labelled draw_grid_text variant,
+    reference visualization_utils.py:60-78)."""
+    import os
+
+    from nope_tpu.evaluation.geodesic import evaluate_geodesic
+    from nope_tpu.geometry import so3_grid, transforms
+
+    task, params = task_and_params
+    n, b = 8, 2
+    grid = so3_grid.load_obj_poses(0)[:n, :3, :3].astype(np.float32)
+    rel = transforms.relative_rotation_jax(
+        jnp.asarray(grid)[None].repeat(b, 0),
+        jnp.broadcast_to(jnp.asarray(grid[0]), (b, n, 3, 3)),
+    )
+    batch = {
+        "query": rng.uniform(-1, 1, (b, IMG, IMG, 3)).astype(np.float32),
+        "reference": rng.uniform(-1, 1, (b, IMG, IMG, 3)).astype(np.float32),
+        "gt_relativeR": np.asarray(
+            rotations.matrix_to_rotation_6d(jnp.asarray(grid[:b]))
+        ),
+        "all_relativeR": np.asarray(rotations.matrix_to_rotation_6d(rel)),
+        "query_pose": grid[:b],
+        "template_poses": np.broadcast_to(grid, (b, n, 3, 3)).copy(),
+        "symmetry": np.zeros(b, np.float32),
+        "gt_templates": rng.uniform(-1, 1, (b, n, IMG, IMG, 3)).astype(np.float32),
+    }
+    scores = evaluate_geodesic(task, params, [batch], save_dir=str(tmp_path))
+    assert scores["num_images"] == float(b)
+    files = os.listdir(tmp_path)
+    assert any(f.startswith("pred_") and f.endswith(".npz") for f in files)
+    assert any(f.startswith("retrieved_") and f.endswith(".png") for f in files)
+    try:
+        import matplotlib  # noqa: F401
+    except ImportError:
+        pass
+    else:
+        assert any(f.startswith("retrieved_text_") for f in files)
+
+
 def test_bank_generation_hlo_is_partitioned(task_and_params, rng):
     """The compiled (post-SPMD) HLO must carry PER-DEVICE shapes for the
     template sweep: the flat U-Net latent batch appears as

@@ -38,6 +38,16 @@ def test_similarity_heatmap_range():
     assert colors.sum(1)[0] < colors.sum(1)[-1]
 
 
+def test_draw_grid_text_panel(tmp_path):
+    pytest.importorskip("matplotlib")
+    rng = np.random.default_rng(0)
+    # rows: query | reference | (blank quirk cell) | top-1 | top-2
+    images = rng.uniform(0, 1, (2, 5, 8, 8, 3)).astype(np.float32)
+    scores = rng.uniform(0, 1, (2, 2)).astype(np.float32)
+    path = visualization.draw_grid_text(images, scores, str(tmp_path / "panel.png"))
+    assert osp.exists(path) and os.path.getsize(path) > 0
+
+
 def test_inout_roundtrip(tmp_path):
     p = tmp_path / "x.json"
     inout.save_json(str(p), {"a": np.float32(1.5), "b": np.arange(3)})
