@@ -127,6 +127,69 @@ def draw_grid_text(
     return save_path
 
 
+def visualize_uncertainty(
+    uncertainty: np.ndarray, img_size: Sequence[int], apply_cmap: bool = True
+) -> np.ndarray:
+    """Per-pixel uncertainty maps (``visualization_utils.py:118-127``):
+    bilinear-upsample a (B, h, w, C) map to ``img_size``, take the
+    channel L2 norm, and either magma-colormap it or replicate to RGB.
+    Channel-last instead of the reference's NCHW; cv2-based resize."""
+    import cv2
+
+    u = np.asarray(uncertainty, dtype=np.float32)
+    H, W = int(img_size[0]), int(img_size[1])
+    out = np.empty((u.shape[0], H, W, u.shape[-1]), np.float32)
+    for i in range(u.shape[0]):
+        resized = cv2.resize(u[i], (W, H), interpolation=cv2.INTER_LINEAR)
+        out[i] = resized if resized.ndim == 3 else resized[..., None]
+    norm = np.linalg.norm(out, axis=-1)  # (B, H, W)
+    if apply_cmap:
+        lo, hi = norm.min(), norm.max()
+        return similarity_heatmap(
+            ((norm - lo) / (hi - lo + 1e-12)).reshape(-1)
+        ).reshape(norm.shape + (3,)).astype(np.float32)
+    return np.repeat(norm[..., None], 3, axis=-1)
+
+
+def write_text_on_grid(
+    img_path: str,
+    errors: Sequence[float],
+    sample_size: int = 128,
+    color: tuple = (255, 0, 0),
+    font_scale: float = 0.5,
+    thickness: int = 1,
+    idx_cols: Sequence[int] = (1,),
+    text_prefix: str = "err",
+    additional_info: Optional[Sequence[float]] = None,
+) -> np.ndarray:
+    """Stamp per-sample error captions onto a saved montage
+    (``visualization_utils.py:130-170``): the grid is ``sample_size``
+    cells; one ``{prefix}={err:.01f}`` caption per row at each column
+    in ``idx_cols``, sample index advancing per caption like the
+    reference. Returns the annotated RGB array (uint8)."""
+    import cv2
+    from PIL import Image
+
+    img = np.array(Image.open(img_path).convert("RGB")).copy()
+    nrow = img.shape[0] // sample_size
+    font = cv2.FONT_HERSHEY_SIMPLEX
+    idx_sample = 0
+    for idx_row in range(nrow):
+        for idx_col in idx_cols:
+            pos = (
+                int((idx_col + 0.35) * sample_size),
+                int((idx_row + 0.95) * sample_size),
+            )
+            caption = f"{text_prefix}={float(errors[idx_sample]):.01f}"
+            if additional_info is not None:
+                caption += f", err={float(additional_info[idx_sample]):.01f}"
+            img = cv2.putText(
+                img, caption, pos, font, font_scale, color, thickness, cv2.LINE_AA
+            )
+            idx_sample += 1
+    return img
+
+
 def draw_pose_axes(
     img: np.ndarray, K: np.ndarray, pose: np.ndarray, length: float = 0.1
 ) -> np.ndarray:

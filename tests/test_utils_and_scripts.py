@@ -48,6 +48,32 @@ def test_draw_grid_text_panel(tmp_path):
     assert osp.exists(path) and os.path.getsize(path) > 0
 
 
+def test_visualize_uncertainty_shapes():
+    rng = np.random.default_rng(1)
+    u = rng.uniform(0, 1, (2, 4, 4, 4)).astype(np.float32)
+    cm = visualization.visualize_uncertainty(u, (16, 16), apply_cmap=True)
+    assert cm.shape == (2, 16, 16, 3)
+    assert cm.min() >= 0.0 and cm.max() <= 1.0
+    raw = visualization.visualize_uncertainty(u, (16, 16), apply_cmap=False)
+    assert raw.shape == (2, 16, 16, 3)
+    # RGB replication: all three channels equal the channel-norm
+    np.testing.assert_allclose(raw[..., 0], raw[..., 2])
+
+
+def test_write_text_on_grid(tmp_path):
+    from PIL import Image
+
+    # a 2-row, 3-col montage of 16px cells
+    canvas = np.zeros((32, 48, 3), np.uint8)
+    p = str(tmp_path / "grid.png")
+    Image.fromarray(canvas).save(p)
+    out = visualization.write_text_on_grid(
+        p, errors=[12.3, 45.6], sample_size=16, idx_cols=[1]
+    )
+    assert out.shape == (32, 48, 3)
+    assert out.sum() > 0  # text pixels were stamped
+
+
 def test_inout_roundtrip(tmp_path):
     p = tmp_path / "x.json"
     inout.save_json(str(p), {"a": np.float32(1.5), "b": np.arange(3)})
