@@ -19,6 +19,7 @@ ICI inside a slice and DCN across hosts.
 
 from __future__ import annotations
 
+import logging
 from typing import Any, Optional, Sequence
 
 import numpy as np
@@ -69,6 +70,13 @@ def process_barrier(tag: str = "nope", timeout_ms: int = 600_000) -> None:
 
         client = distributed.global_state.client
     except Exception:  # pragma: no cover - private API drift
+        if not _BARRIER_COUNTS.get("__warned__"):
+            _BARRIER_COUNTS["__warned__"] = True
+            logging.warning(
+                "process_barrier disabled: jax._src.distributed is not "
+                "importable (private-API drift?) — multi-process runs with "
+                "compile-time skew may hit Gloo's ~30 s rendezvous timeout"
+            )
         return
     if client is None:
         return

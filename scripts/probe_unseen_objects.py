@@ -1,0 +1,293 @@
+"""Round-3 hardware probe: unseen-OBJECT generalization (VERDICT #2).
+
+Full from-scratch two-stage recipe at flagship scale on the v5e:
+28 procedural objects in 2 shape families; codec + pose task trained on
+24, FULL 341-grid streaming retrieval evaluated on (a) seen training
+views (diagnostic), (b) held-out VIEWS of training objects, and (c) 4
+objects NEVER seen in training — the capability NOPE actually claims
+(reference README.md:31-35, src/model/model.py:106-124).
+
+Checkpoints every 500 optimizer steps to --out (atomic rename), resumes
+from the latest checkpoint including the numpy batch-stream state, so a
+session death costs at most 500 steps.  Results stream to stdout as
+JSON lines and accumulate in <out>/history.json; the summary table
+lives in docs/PERFORMANCE.md ("Round-3 unseen-object generalization").
+
+Run (v5e, ~2 h):  python scripts/probe_unseen_objects.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from nope_tpu.utils.env import enable_compilation_cache
+
+enable_compilation_cache()
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tests.fixtures import render_procedural
+from nope_tpu.scripts.generate_data import sample_camera_poses
+from nope_tpu.geometry import so3_grid
+from nope_tpu.geometry.cropping import crop_frame
+from nope_tpu.geometry.rotations import matrix_to_rotation_6d
+from nope_tpu.data.shapenet import SHAPENET_INTRINSIC
+from nope_tpu.models.unet import PoseUNet
+from nope_tpu.models.vae import StableDiffusionVAE
+from nope_tpu.tasks.pose_conditional import PoseConditionalTask, TaskConfig, cast_half
+from nope_tpu.training.optim import make_optimizer
+from nope_tpu.training.train_state import TrainState, create_train_state, make_train_step
+from nope_tpu.training.pretrain_vae import (
+    create_vae_pretrain_state, make_vae_pretrain_step,
+)
+
+IMG = 256
+N_OBJ, N_TRAIN_OBJ = 28, 24         # objects 24..27 are NEVER trained on
+N_TRAIN_VIEWS, N_QUERY, N_REF = 26, 6, 1  # 26 = fast grid
+STEPS_VAE = 700
+STEPS_POSE = 8000
+EVAL_EVERY = 2000
+CKPT_EVERY = 500
+BATCH = 16
+
+OUT = sys.argv[sys.argv.index("--out") + 1] if "--out" in sys.argv else \
+    "/tmp/probe_unseen_out4"
+os.makedirs(OUT, exist_ok=True)
+CKPT = os.path.join(OUT, "ckpt.npz")
+
+
+# ---------------------------------------------------------------------------
+# data: render + crop (two shape families; seeds fixed => fully
+# deterministic dataset, so resume regenerates identical arrays)
+# ---------------------------------------------------------------------------
+
+def make_points(obj_id):
+    rng = np.random.default_rng(4000 + obj_id)
+    if obj_id % 2 == 0:  # family A: isotropic blob (round-2 style)
+        pts = rng.normal(size=(60, 3)) * 0.12
+    else:  # family B: denser, elongated (bottle-like)
+        pts = rng.normal(size=(110, 3)) * np.array([0.055, 0.06, 0.17])
+    cols = rng.integers(60, 255, (len(pts), 3))
+    return pts, cols
+
+
+def crop_norm(rgba, pose):
+    rgb = rgba[..., :3].astype(np.float32) * (rgba[..., 3:4].astype(np.float32) / 255.0)
+    c = crop_frame(rgb.astype(np.uint8), mask=None, intrinsic=SHAPENET_INTRINSIC,
+                   openCV_pose=pose, image_size=IMG, virtual_bbox_size=1.0)
+    return (c.astype(np.float32) / 255.0) * 2.0 - 1.0
+
+
+t0 = time.time()
+# training views = the 26-fast-grid TEMPLATE poses (the recipe the
+# round-2 probe converged with: discrete grid views, dense dR pair set)
+_tidx = so3_grid.load_index_level0_in_level2("upper")
+_tmpl44 = so3_grid.load_obj_poses(2)[_tidx].copy()
+_tmpl44[:, :3, 3] *= 2.0  # grid stores 0.5 m camera distance; match radius 1.0
+
+data = []  # per object: dict(train_views, train_R, queries, query_R, ref, ref_R)
+for obj in range(N_OBJ):
+    pts, cols = make_points(obj)
+    prng = np.random.default_rng(5000 + obj)
+    poses_train = _tmpl44
+    poses_query = sample_camera_poses(prng, N_QUERY, 1.0)
+    poses_ref = sample_camera_poses(prng, N_REF, 1.0)
+
+    def r(pose):
+        return crop_norm(render_procedural(pose, pts, cols, img_px=512), pose)
+
+    data.append({
+        "train_views": np.stack([r(p) for p in poses_train]),
+        "train_R": poses_train[:, :3, :3].astype(np.float32),
+        "queries": np.stack([r(p) for p in poses_query]),
+        "query_R": poses_query[:, :3, :3].astype(np.float32),
+        "ref": r(poses_ref[0]),
+        "ref_R": poses_ref[0, :3, :3].astype(np.float32),
+    })
+    print(f"rendered obj {obj} ({time.time()-t0:.0f}s)", flush=True)
+
+grid341 = so3_grid.get_obj_poses_from_template_level(2, "upper")[:, :3, :3]
+grid341 = grid341.astype(np.float32)
+N_T = len(grid341)
+
+# ---------------------------------------------------------------------------
+# models + optimizer (constructed before checkpoint logic so the
+# TrainState treedef exists to unflatten into)
+# ---------------------------------------------------------------------------
+vae = StableDiffusionVAE()
+task = PoseConditionalTask(
+    PoseUNet(u_net_dim=192, channels=4, dim_mults=(1, 2, 4, 8), resnet_block_groups=8),
+    vae,
+    TaskConfig(),
+)
+tx = make_optimizer(base_lr=2e-4, warm_up_steps=100)
+state = create_train_state(task, tx, jax.random.key(2), image_size=IMG)
+step_fn = make_train_step(task, tx)
+
+rng = np.random.default_rng(7)
+history = []
+start_step = 0
+
+if os.path.exists(CKPT):
+    # resume: leaves in flatten order + numpy batch-stream state
+    treedef = jax.tree.structure(state)
+    with np.load(CKPT, allow_pickle=False) as z:
+        leaves = [z[f"leaf_{i}"] for i in range(z["n_leaves"])]
+        start_step = int(z["probe_step"])
+        rng_state = json.loads(str(z["rng_state"]))
+    state = jax.tree.unflatten(treedef, [jnp.asarray(l) for l in leaves])
+    rng_state["state"] = {k: int(v) for k, v in rng_state["state"].items()}
+    rng.bit_generator.state = rng_state
+    if os.path.exists(os.path.join(OUT, "history.json")):
+        history = json.load(open(os.path.join(OUT, "history.json")))
+    print(f"RESUMED at step {start_step} ({time.time()-t0:.0f}s)", flush=True)
+else:
+    # -------------------------------------------------------------------
+    # stage 1: VAE pretraining on TRAIN objects' TRAIN views only
+    # -------------------------------------------------------------------
+    import optax
+    vae_imgs = np.concatenate(
+        [data[o]["train_views"] for o in range(N_TRAIN_OBJ)]
+        + [data[o]["queries"] for o in range(N_TRAIN_OBJ)]
+        + [data[o]["ref"][None] for o in range(N_TRAIN_OBJ)]
+    )
+    print(f"stage1: {len(vae_imgs)} images", flush=True)
+    vtx = optax.adamw(2e-4)
+    vstate = create_vae_pretrain_state(vae, vtx, jax.random.key(0), image_size=IMG)
+    vstep = make_vae_pretrain_step(vae, vtx)
+    vrng = np.random.default_rng(1)
+    for step in range(STEPS_VAE):
+        sel = vrng.integers(0, len(vae_imgs), 8)
+        vstate, vmetrics = vstep(vstate, jnp.asarray(vae_imgs[sel]))
+        if step % 100 == 0 or step == STEPS_VAE - 1:
+            print(f"vae step {step}: recon={float(vmetrics['recon']):.4f}", flush=True)
+    state = state._replace(vae_params=vstate.params)
+
+
+def save_ckpt(state, probe_step):
+    leaves = [np.asarray(l) for l in jax.tree.leaves(state)]
+    rng_state = dict(rng.bit_generator.state)
+    rng_state["state"] = {k: str(v) for k, v in rng_state["state"].items()}
+    tmp = CKPT + ".tmp.npz"
+    np.savez(
+        tmp,
+        n_leaves=len(leaves),
+        probe_step=probe_step,
+        rng_state=json.dumps(rng_state),
+        **{f"leaf_{i}": l for i, l in enumerate(leaves)},
+    )
+    os.replace(tmp, CKPT)
+
+
+# ---------------------------------------------------------------------------
+# stage 2: pose task on train objects' grid-view pairs
+# ---------------------------------------------------------------------------
+
+def make_batch(rng):
+    objs = rng.integers(0, N_TRAIN_OBJ, BATCH)
+    q, r, rel, rel_inv = [], [], [], []
+    for o in objs:
+        i, j = rng.choice(N_TRAIN_VIEWS, 2, replace=False)
+        d = data[o]
+        q.append(d["train_views"][i]); r.append(d["train_views"][j])
+        Rq, Rr = d["train_R"][i], d["train_R"][j]
+        rel.append(Rq @ Rr.T); rel_inv.append(Rr @ Rq.T)
+    to6 = lambda Rs: np.asarray(
+        matrix_to_rotation_6d(jnp.asarray(np.stack(Rs))), np.float32)
+    return {"proc": {
+        "query": jnp.asarray(np.stack(q)),
+        "reference": jnp.asarray(np.stack(r)),
+        "relativeR": jnp.asarray(to6(rel)),
+        "relativeR_inv": jnp.asarray(to6(rel_inv)),
+    }}
+
+
+# ---------------------------------------------------------------------------
+# eval: full-341 streaming retrieval, bf16
+# ---------------------------------------------------------------------------
+
+_eval_jit = jax.jit(
+    lambda p, q, r, bR: task.retrieve_streaming(p, q, r, bR, chunk_size=31)
+)
+
+
+def eval_group(params_h, objs, label, use_train_views=False):
+    """objs: list of object indexes; queries = their held-out query
+    views (or, diagnostic, the first N_QUERY SEEN training views),
+    reference = their single held-out reference view."""
+    q_imgs, refs, bank_Rs, gt_R, floor = [], [], [], [], []
+    for o in objs:
+        d = data[o]
+        rel = np.einsum("nij,kj->nik", grid341, d["ref_R"])  # T_i @ R_ref^T
+        b6 = np.asarray(matrix_to_rotation_6d(jnp.asarray(rel)), np.float32)
+        qs = d["train_views"] if use_train_views else d["queries"]
+        qR = d["train_R"] if use_train_views else d["query_R"]
+        for i in range(N_QUERY):
+            q_imgs.append(qs[i]); refs.append(d["ref"])
+            bank_Rs.append(b6); gt_R.append(qR[i])
+            tr = np.einsum("nij,kj->nik", grid341, qR[i])
+            ang = np.degrees(np.arccos(np.clip(
+                (np.trace(tr, axis1=1, axis2=2) - 1) / 2, -1, 1)))
+            floor.append(ang.min())
+    B = len(q_imgs)
+    idxs = []
+    CH = 12
+    for lo in range(0, B, CH):
+        sl = slice(lo, min(lo + CH, B))
+        _, idx = _eval_jit(
+            params_h,
+            jnp.asarray(np.stack(q_imgs[sl]), jnp.bfloat16),
+            jnp.asarray(np.stack(refs[sl]), jnp.bfloat16),
+            jnp.asarray(np.stack(bank_Rs[sl]), jnp.bfloat16),
+        )
+        idxs.append(np.asarray(idx))
+    idx = np.concatenate(idxs)
+    pred_R = grid341[idx]  # (B, 5, 3, 3)
+    gt = np.stack(gt_R)
+    # top-k geodesic errors
+    e = []
+    for k in range(5):
+        m = np.einsum("bij,bkj->bik", pred_R[:, k], gt)
+        ang = np.degrees(np.arccos(np.clip(
+            (np.trace(m, axis1=1, axis2=2) - 1) / 2, -1, 1)))
+        e.append(ang)
+    e = np.stack(e, axis=1)  # (B, 5)
+    top1 = e[:, 0]
+    res = {
+        "label": label,
+        "n": B,
+        "top1_median_deg": round(float(np.median(top1)), 2),
+        "top5_median_deg": round(float(np.median(e.min(axis=1))), 2),
+        "acc15": round(float(np.mean(top1 <= 15.0)), 3),
+        "acc30": round(float(np.mean(top1 <= 30.0)), 3),
+        "grid_floor_median_deg": round(float(np.median(floor)), 2),
+    }
+    print(json.dumps(res), flush=True)
+    return res
+
+
+t0 = time.time()
+for step in range(start_step, STEPS_POSE + 1):
+    if step % EVAL_EVERY == 0 or step == STEPS_POSE:
+        params_h = cast_half({"unet": state.unet_params, "vae": state.vae_params})
+        print(f"--- step {step} ({time.time()-t0:.0f}s)", flush=True)
+        sv = eval_group(params_h, list(range(4)), f"seen_train_views@{step}",
+                        use_train_views=True)
+        hv = eval_group(params_h, list(range(N_TRAIN_OBJ)), f"heldout_views@{step}")
+        ho = eval_group(params_h, list(range(N_TRAIN_OBJ, N_OBJ)),
+                        f"heldout_objects@{step}")
+        history.append({"step": step, "seen": sv, "views": hv, "objects": ho})
+        json.dump(history, open(os.path.join(OUT, "history.json"), "w"), indent=1)
+    if step < STEPS_POSE:
+        state, metrics = step_fn(state, make_batch(rng))
+        if (step + 1) % CKPT_EVERY == 0:
+            save_ckpt(state, step + 1)
+        if step % 250 == 0:
+            print(f"step {step}: loss={float(metrics['loss/train_avg']):.4f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+
+print("DONE " + json.dumps(history[-1]))
