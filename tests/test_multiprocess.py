@@ -22,6 +22,11 @@ pid = int(sys.argv[1])
 jax.distributed.initialize(
     coordinator_address="localhost:{port}", num_processes=2, process_id=pid,
     local_device_ids=list(range(4)),
+    # this box has ONE core: when the suite runs alongside other heavy
+    # processes a worker can be descheduled past the default 100 s
+    # heartbeat window and the coordinator declares it dead (observed);
+    # the workers are compute-starved, not crashed — give them slack
+    heartbeat_timeout_seconds=600, shutdown_timeout_seconds=900,
 )
 assert jax.process_count() == 2, jax.process_count()
 assert jax.device_count() == 8, jax.device_count()
@@ -104,6 +109,11 @@ save_dir = sys.argv[2]
 jax.distributed.initialize(
     coordinator_address="localhost:{port}", num_processes=2, process_id=pid,
     local_device_ids=list(range(4)),
+    # this box has ONE core: when the suite runs alongside other heavy
+    # processes a worker can be descheduled past the default 100 s
+    # heartbeat window and the coordinator declares it dead (observed);
+    # the workers are compute-starved, not crashed — give them slack
+    heartbeat_timeout_seconds=600, shutdown_timeout_seconds=900,
 )
 
 import numpy as np
@@ -163,6 +173,11 @@ phase, ckpt_dir = sys.argv[2], sys.argv[3]
 jax.distributed.initialize(
     coordinator_address="localhost:{port}", num_processes=2, process_id=pid,
     local_device_ids=list(range(4)),
+    # this box has ONE core: when the suite runs alongside other heavy
+    # processes a worker can be descheduled past the default 100 s
+    # heartbeat window and the coordinator declares it dead (observed);
+    # the workers are compute-starved, not crashed — give them slack
+    heartbeat_timeout_seconds=600, shutdown_timeout_seconds=900,
 )
 
 import numpy as np
@@ -275,6 +290,11 @@ pid = int(sys.argv[1])
 jax.distributed.initialize(
     coordinator_address="localhost:{port}", num_processes=2, process_id=pid,
     local_device_ids=list(range(4)),
+    # this box has ONE core: when the suite runs alongside other heavy
+    # processes a worker can be descheduled past the default 100 s
+    # heartbeat window and the coordinator declares it dead (observed);
+    # the workers are compute-starved, not crashed — give them slack
+    heartbeat_timeout_seconds=600, shutdown_timeout_seconds=900,
 )
 
 import json
@@ -352,7 +372,7 @@ def _run_workers(tmp_path, source, extra_args=()):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=900)
+            out, _ = p.communicate(timeout=1200)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
