@@ -260,6 +260,36 @@ def test_estimate_many_mixed_objects(estimator, rng):
         estimator.deregister_object(oid)
 
 
+def test_estimate_many_stacked_cache_invalidation(estimator, rng):
+    """Repeat estimate_many calls on the same gallery reuse the stacked
+    bank; re-registering an object with DIFFERENT content must refresh
+    it (a stale stack would silently score against the old bank)."""
+    refs = rng.uniform(-1, 1, (2, IMG, IMG, 3)).astype(np.float32)
+    estimator.register_objects(["ca", "cb"], refs)
+    queries = rng.uniform(-1, 1, (2, IMG, IMG, 3)).astype(np.float32)
+    ids = ["ca", "cb"]
+
+    first = estimator.estimate_many(ids, queries)
+    assert estimator._stacked_cache[0] == ("ca", "cb")
+    again = estimator.estimate_many(ids, queries)  # cache hit
+    np.testing.assert_array_equal(first.nearest_idx, again.nearest_idx)
+    np.testing.assert_allclose(first.similarity, again.similarity)
+
+    # new content under an existing id → scores must change with it
+    estimator.register_object("cb", np.roll(refs[0], IMG // 2, axis=0))
+    assert estimator._stacked_cache[0] is None
+    refreshed = estimator.estimate_many(ids, queries)
+    single = estimator.estimate("cb", queries[1:2])
+    np.testing.assert_array_equal(refreshed.nearest_idx[1], single.nearest_idx[0])
+    assert not np.allclose(refreshed.similarity[1], first.similarity[1])
+
+    estimator.deregister_object("ca")
+    assert estimator._stacked_cache[0] is None
+    with pytest.raises(KeyError, match="not registered"):
+        estimator.estimate_many(ids, queries)
+    estimator.deregister_object("cb")
+
+
 def test_int8_banks_agree_with_full_precision(rng, tmp_path):
     """int8 per-(template, channel)-scale banks: 4x smaller, top-1
     retrieval must agree with the full-precision bank and similarities
