@@ -11,3 +11,7 @@ from nope_tpu.parallel.eval import (  # noqa: F401
     make_sharded_eval_fn,
     make_sharded_streaming_eval_fn,
 )
+from nope_tpu.parallel.zero import (  # noqa: F401
+    zero1_state_shardings,
+    sharded_param_bytes,
+)

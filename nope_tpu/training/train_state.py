@@ -47,11 +47,19 @@ def make_train_step(
     task: PoseConditionalTask,
     tx: optax.GradientTransformation,
     half_precision: bool = False,
+    state_shardings: Any = None,
 ):
     """Build the jitted train step: state, {dataset: batch} → state', metrics.
 
     The per-dataset losses and their average are returned exactly like
     the reference logs them (``model.py:169-182``).
+
+    ``state_shardings`` (a ``TrainState``-shaped pytree of
+    ``NamedSharding``, e.g. from
+    :func:`nope_tpu.parallel.zero.zero1_state_shardings`) pins the
+    output state's layout so a ZeRO-sharded optimizer state stays
+    sharded across steps instead of drifting to whatever GSPMD
+    propagation picks; metrics stay unconstrained.
 
     ``half_precision`` runs forward+backward in bfloat16 while the
     master weights and the full optimizer state stay float32: params and
@@ -74,7 +82,13 @@ def make_train_step(
             lambda x: x.astype(jnp.float32), per_dataset
         )
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    jit_kwargs = {}
+    if state_shardings is not None:
+        # metrics sharding stays None (= let GSPMD choose; they are
+        # scalars, effectively replicated)
+        jit_kwargs["out_shardings"] = (state_shardings, None)
+
+    @functools.partial(jax.jit, donate_argnums=(0,), **jit_kwargs)
     def train_step(
         state: TrainState, batches: Dict[str, Dict[str, jax.Array]]
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
