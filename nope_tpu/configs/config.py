@@ -123,6 +123,9 @@ class MachineConfig:
     # mesh axes; data=None -> all devices
     mesh_data: Optional[int] = None
     mesh_template: int = 1
+    # ZeRO-1: shard AdamW moments over the data axis (params stay
+    # replicated; numerics identical — parallel/zero.py)
+    zero1: bool = False
 
 
 @dataclass

@@ -143,12 +143,27 @@ class Trainer:
             gamma=cfg.model.optim_config.gamma,
             steps_per_epoch=steps_per_epoch,
         )
+        self.mesh = create_mesh(
+            data=cfg.machine.mesh_data, template=cfg.machine.mesh_template
+        )
+        # ZeRO-1 (machine.zero1): AdamW moments shard over the data axis.
+        # The sharding pytree needs the state's tree structure only, so
+        # eval_shape derives it without instantiating any parameters.
+        self._state_shardings = None
+        if getattr(cfg.machine, "zero1", False):
+            from nope_tpu.parallel.zero import zero1_state_shardings
+
+            state_shape = jax.eval_shape(
+                lambda: create_train_state(
+                    task, self.tx, jax.random.key(cfg.trainer.seed),
+                    image_size=cfg.model.img_size,
+                )
+            )
+            self._state_shardings = zero1_state_shardings(state_shape, self.mesh)
         self.train_step = make_train_step(
             task, self.tx,
             half_precision=getattr(cfg.model.optim_config, "half_precision_train", False),
-        )
-        self.mesh = create_mesh(
-            data=cfg.machine.mesh_data, template=cfg.machine.mesh_template
+            state_shardings=self._state_shardings,
         )
         user = getattr(cfg, "user", None)
         self.logger = MetricLogger(
@@ -208,7 +223,12 @@ class Trainer:
         if resume and self.ckpt.latest_step() is not None:
             logging.info("resuming from step %s", self.ckpt.latest_step())
             state = self.ckpt.restore(state)
-        return jax.device_put(state, replicate(self.mesh))
+        return jax.device_put(
+            state,
+            self._state_shardings
+            if self._state_shardings is not None
+            else replicate(self.mesh),
+        )
 
     # -- loop ------------------------------------------------------------
 

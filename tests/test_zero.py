@@ -114,6 +114,71 @@ def test_zero1_matches_replicated_and_actually_shards(setup):
     assert bytes_["opt_state_zero1"] < 0.5 * bytes_["opt_state_replicated"]
 
 
+def test_trainer_zero1_config_knob(tmp_path):
+    """machine.zero1=true wires ZeRO-1 through the Trainer: the
+    eval_shape-derived sharding pytree matches the real state tree, fit()
+    runs, and the large moment leaves come out sharded over the data
+    axis."""
+    import jax
+
+    from nope_tpu.configs import load_config
+    from nope_tpu.data.pipeline import DataLoader
+    from nope_tpu.models.factory import build_task
+    from nope_tpu.training.trainer import Trainer
+
+    # dim 16 x mults (1,2,4): the (3,3,64,64) conv moments clear the
+    # default MIN_SHARD_SIZE gate without a test-only knob
+    cfg = load_config(None, [
+        "model.img_size=32", "model.u_net.u_net_dim=16",
+        "model.u_net.dim_mults=1,2,4", "model.u_net.resnet_block_groups=4",
+        "model.encoder.block_out_channels=8,8,8,8",
+        "model.encoder.layers_per_block=1", "model.encoder.norm_groups=4",
+        f"save_dir={tmp_path}", "name_exp=zero1", "machine.mesh_data=8",
+        "machine.mesh_template=1", "machine.zero1=true",
+        "trainer.media_every_n_steps=0", "trainer.log_every_n_steps=1",
+    ])
+    task = build_task(cfg.model)
+    rng = np.random.default_rng(0)
+
+    class Toy:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            mats = np.asarray(rotations.random_rotations(jax.random.key(i), 1))[0]
+            return {
+                "query": rng.uniform(-1, 1, (IMG, IMG, 3)).astype(np.float32),
+                "reference": rng.uniform(-1, 1, (IMG, IMG, 3)).astype(np.float32),
+                "relativeR": np.asarray(mats[:2].reshape(6), np.float32),
+                "relativeR_inv": np.asarray(mats.T[:2].reshape(6), np.float32),
+            }
+
+    trainer = Trainer(
+        cfg, task, {"toy": DataLoader(Toy(), batch_size=8, num_workers=1)}
+    )
+    state = trainer.fit(max_steps=2)
+    assert int(state.step) == 2
+
+    n_data = trainer.mesh.shape[DATA_AXIS]
+    n_sharded = 0
+    for leaf in jax.tree.leaves(state.opt_state):
+        if leaf.ndim == 0 or leaf.size < MIN_SHARD_SIZE:
+            continue
+        spec = leaf.sharding.spec
+        assert DATA_AXIS in spec, f"large moment leaf replicated: {leaf.shape}"
+        axis = spec.index(DATA_AXIS)
+        assert (
+            leaf.addressable_shards[0].data.shape[axis]
+            == leaf.shape[axis] // n_data
+        )
+        n_sharded += 1
+    assert n_sharded >= 4, f"only {n_sharded} sharded moment leaves"
+    # params stay replicated and finite
+    for leaf in jax.tree.leaves(state.unet_params):
+        assert leaf.sharding.spec == P()
+        assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
 def test_zero1_flagship_leaves_shard_cleanly():
     """At FLAGSHIP width (192-dim U-Net) every conv/dense moment leaf is
     8-divisible on its channel axis: the strategy reaches ~1/n bytes,
