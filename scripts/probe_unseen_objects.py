@@ -14,6 +14,8 @@ JSON lines and accumulate in <out>/history.json; the summary table
 lives in docs/PERFORMANCE.md ("Round-3 unseen-object generalization").
 
 Run (v5e, ~2 h):  python scripts/probe_unseen_objects.py
+Ablation:         python scripts/probe_unseen_objects.py --n-train-obj 8 \
+                      --out /tmp/probe_unseen_ablate8
 """
 import json
 import os
@@ -45,13 +47,21 @@ from nope_tpu.training.pretrain_vae import (
     create_vae_pretrain_state, make_vae_pretrain_step,
 )
 
+def _arg(name, default):
+    return int(sys.argv[sys.argv.index(name) + 1]) if name in sys.argv else default
+
+
 IMG = 256
-N_OBJ, N_TRAIN_OBJ = 28, 24         # objects 24..27 are NEVER trained on
+N_OBJ = 28                           # objects 24..27 are NEVER trained on
+N_TRAIN_OBJ = _arg("--n-train-obj", 24)  # ablation: vary the train-set size
+assert 4 <= N_TRAIN_OBJ <= 24
+HELDOUT_OBJS = list(range(24, N_OBJ))    # fixed across ablations for comparability
 N_TRAIN_VIEWS, N_QUERY, N_REF = 26, 6, 1  # 26 = fast grid
 STEPS_VAE = 700
-STEPS_POSE = 8000
-EVAL_EVERY = 2000
-CKPT_EVERY = 500
+STEPS_POSE = _arg("--steps", 8000)
+EVAL_EVERY = _arg("--eval-every", 2000)
+CKPT_EVERY = 2000  # a 2 GB state fetch over the ~10 MB/s tunnel is minutes;
+                   # checkpoint on the eval cadence, not more often
 BATCH = 16
 
 OUT = sys.argv[sys.argv.index("--out") + 1] if "--out" in sys.argv else \
@@ -75,11 +85,17 @@ def make_points(obj_id):
     return pts, cols
 
 
-def crop_norm(rgba, pose):
+def crop_u8(rgba, pose):
+    """uint8 crop; normalization to [-1, 1] happens ON DEVICE (norm_np /
+    the indexed train step below) — 4x fewer bytes everywhere and the
+    f32 arithmetic is identical either side of the transfer."""
     rgb = rgba[..., :3].astype(np.float32) * (rgba[..., 3:4].astype(np.float32) / 255.0)
-    c = crop_frame(rgb.astype(np.uint8), mask=None, intrinsic=SHAPENET_INTRINSIC,
-                   openCV_pose=pose, image_size=IMG, virtual_bbox_size=1.0)
-    return (c.astype(np.float32) / 255.0) * 2.0 - 1.0
+    return crop_frame(rgb.astype(np.uint8), mask=None, intrinsic=SHAPENET_INTRINSIC,
+                      openCV_pose=pose, image_size=IMG, virtual_bbox_size=1.0)
+
+
+def norm_np(u8):
+    return (u8.astype(np.float32) / 255.0) * 2.0 - 1.0
 
 
 t0 = time.time()
@@ -89,8 +105,8 @@ _tidx = so3_grid.load_index_level0_in_level2("upper")
 _tmpl44 = so3_grid.load_obj_poses(2)[_tidx].copy()
 _tmpl44[:, :3, 3] *= 2.0  # grid stores 0.5 m camera distance; match radius 1.0
 
-data = []  # per object: dict(train_views, train_R, queries, query_R, ref, ref_R)
-for obj in range(N_OBJ):
+data = {}  # per object: dict(train_views, train_R, queries, query_R, ref, ref_R)
+for obj in list(range(N_TRAIN_OBJ)) + HELDOUT_OBJS:  # skip unused in ablations
     pts, cols = make_points(obj)
     prng = np.random.default_rng(5000 + obj)
     poses_train = _tmpl44
@@ -98,9 +114,9 @@ for obj in range(N_OBJ):
     poses_ref = sample_camera_poses(prng, N_REF, 1.0)
 
     def r(pose):
-        return crop_norm(render_procedural(pose, pts, cols, img_px=512), pose)
+        return crop_u8(render_procedural(pose, pts, cols, img_px=512), pose)
 
-    data.append({
+    data[obj] = ({
         "train_views": np.stack([r(p) for p in poses_train]),
         "train_R": poses_train[:, :3, :3].astype(np.float32),
         "queries": np.stack([r(p) for p in poses_query]),
@@ -159,10 +175,19 @@ else:
     vtx = optax.adamw(2e-4)
     vstate = create_vae_pretrain_state(vae, vtx, jax.random.key(0), image_size=IMG)
     vstep = make_vae_pretrain_step(vae, vtx)
+
+    # the whole (uint8) image set lives on device; per-step host->device
+    # traffic is 8 indices, not 6 MB of floats (the tunnel is ~10 MB/s)
+    vae_dev = jnp.asarray(vae_imgs)
+
+    @jax.jit
+    def vstep_idx(vstate, imgs_u8, sel):
+        return vstep(vstate, imgs_u8[sel].astype(jnp.float32) / 255.0 * 2.0 - 1.0)
+
     vrng = np.random.default_rng(1)
     for step in range(STEPS_VAE):
         sel = vrng.integers(0, len(vae_imgs), 8)
-        vstate, vmetrics = vstep(vstate, jnp.asarray(vae_imgs[sel]))
+        vstate, vmetrics = vstep_idx(vstate, vae_dev, jnp.asarray(sel))
         if step % 100 == 0 or step == STEPS_VAE - 1:
             print(f"vae step {step}: recon={float(vmetrics['recon']):.4f}", flush=True)
     state = state._replace(vae_params=vstate.params)
@@ -188,22 +213,41 @@ def save_ckpt(state, probe_step):
 # ---------------------------------------------------------------------------
 
 def make_batch(rng):
+    """Per-step host->device traffic is 3x BATCH int64s: the images stay
+    resident on device (views_dev) and the gather + normalize + relative-
+    rotation math runs inside the jitted step.  The rng consumption is
+    identical to the original host-side sampler, so checkpoints from
+    either variant resume onto the same batch stream."""
     objs = rng.integers(0, N_TRAIN_OBJ, BATCH)
-    q, r, rel, rel_inv = [], [], [], []
+    vi, vj = [], []
     for o in objs:
         i, j = rng.choice(N_TRAIN_VIEWS, 2, replace=False)
-        d = data[o]
-        q.append(d["train_views"][i]); r.append(d["train_views"][j])
-        Rq, Rr = d["train_R"][i], d["train_R"][j]
-        rel.append(Rq @ Rr.T); rel_inv.append(Rr @ Rq.T)
-    to6 = lambda Rs: np.asarray(
-        matrix_to_rotation_6d(jnp.asarray(np.stack(Rs))), np.float32)
-    return {"proc": {
-        "query": jnp.asarray(np.stack(q)),
-        "reference": jnp.asarray(np.stack(r)),
-        "relativeR": jnp.asarray(to6(rel)),
-        "relativeR_inv": jnp.asarray(to6(rel_inv)),
+        vi.append(i); vj.append(j)
+    return (jnp.asarray(objs), jnp.asarray(np.asarray(vi)),
+            jnp.asarray(np.asarray(vj)))
+
+
+# device-resident training set: (N_TRAIN_OBJ, 26, IMG, IMG, 3) uint8
+views_dev = jnp.asarray(np.stack([data[o]["train_views"] for o in range(N_TRAIN_OBJ)]))
+Rs_dev = jnp.asarray(np.stack([data[o]["train_R"] for o in range(N_TRAIN_OBJ)]))
+
+import functools
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def step_indexed(state, views_u8, Rs, objs, vi, vj):
+    hi = jax.lax.Precision.HIGHEST
+    norm = lambda x: x.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+    Rq, Rr = Rs[objs, vi], Rs[objs, vj]
+    rel = jnp.matmul(Rq, jnp.swapaxes(Rr, -1, -2), precision=hi)
+    rel_inv = jnp.matmul(Rr, jnp.swapaxes(Rq, -1, -2), precision=hi)
+    batch = {"proc": {
+        "query": norm(views_u8[objs, vi]),
+        "reference": norm(views_u8[objs, vj]),
+        "relativeR": matrix_to_rotation_6d(rel),
+        "relativeR_inv": matrix_to_rotation_6d(rel_inv),
     }}
+    return step_fn(state, batch)
 
 
 # ---------------------------------------------------------------------------
@@ -240,8 +284,8 @@ def eval_group(params_h, objs, label, use_train_views=False):
         sl = slice(lo, min(lo + CH, B))
         _, idx = _eval_jit(
             params_h,
-            jnp.asarray(np.stack(q_imgs[sl]), jnp.bfloat16),
-            jnp.asarray(np.stack(refs[sl]), jnp.bfloat16),
+            jnp.asarray(norm_np(np.stack(q_imgs[sl])), jnp.bfloat16),
+            jnp.asarray(norm_np(np.stack(refs[sl])), jnp.bfloat16),
             jnp.asarray(np.stack(bank_Rs[sl]), jnp.bfloat16),
         )
         idxs.append(np.asarray(idx))
@@ -278,12 +322,11 @@ for step in range(start_step, STEPS_POSE + 1):
         sv = eval_group(params_h, list(range(4)), f"seen_train_views@{step}",
                         use_train_views=True)
         hv = eval_group(params_h, list(range(N_TRAIN_OBJ)), f"heldout_views@{step}")
-        ho = eval_group(params_h, list(range(N_TRAIN_OBJ, N_OBJ)),
-                        f"heldout_objects@{step}")
+        ho = eval_group(params_h, HELDOUT_OBJS, f"heldout_objects@{step}")
         history.append({"step": step, "seen": sv, "views": hv, "objects": ho})
         json.dump(history, open(os.path.join(OUT, "history.json"), "w"), indent=1)
     if step < STEPS_POSE:
-        state, metrics = step_fn(state, make_batch(rng))
+        state, metrics = step_indexed(state, views_dev, Rs_dev, *make_batch(rng))
         if (step + 1) % CKPT_EVERY == 0:
             save_ckpt(state, step + 1)
         if step % 250 == 0:
