@@ -60,8 +60,8 @@ N_TRAIN_VIEWS, N_QUERY, N_REF = 26, 6, 1  # 26 = fast grid
 STEPS_VAE = 700
 STEPS_POSE = _arg("--steps", 8000)
 EVAL_EVERY = _arg("--eval-every", 2000)
-CKPT_EVERY = 2000  # a 2 GB state fetch over the ~10 MB/s tunnel is minutes;
-                   # checkpoint on the eval cadence, not more often
+CKPT_EVERY = _arg("--ckpt-every", 2000)  # a 2 GB state fetch over the tunnel
+                   # is ~13 min; checkpoint on the eval cadence or coarser
 BATCH = 16
 
 OUT = sys.argv[sys.argv.index("--out") + 1] if "--out" in sys.argv else \
