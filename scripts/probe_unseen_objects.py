@@ -52,10 +52,17 @@ def _arg(name, default):
 
 
 IMG = 256
-N_OBJ = 28                           # objects 24..27 are NEVER trained on
 N_TRAIN_OBJ = _arg("--n-train-obj", 24)  # ablation: vary the train-set size
-assert 4 <= N_TRAIN_OBJ <= 24
-HELDOUT_OBJS = list(range(24, N_OBJ))    # fixed across ablations for comparability
+assert 4 <= N_TRAIN_OBJ <= 64
+HELDOUT_OBJS = list(range(24, 28))       # fixed across ablations for comparability
+# train ids: 0..23, then 28.. for runs larger than the original 24 —
+# object ids 24..27 stay held-out in EVERY run so the transfer numbers
+# are comparable across the 8/24/64 ablation
+TRAIN_IDS = list(range(min(24, N_TRAIN_OBJ))) + list(range(28, 28 + max(0, N_TRAIN_OBJ - 24)))
+# widened held-out-object eval: K extra query views per held-out object,
+# drawn from a SEPARATE rng stream (6000+obj) so the standard protocol's
+# draws (and hence cross-run comparability) are untouched
+EXTRA_HO_QUERIES = _arg("--extra-ho-queries", 0)
 N_TRAIN_VIEWS, N_QUERY, N_REF = 26, 6, 1  # 26 = fast grid
 STEPS_VAE = 700
 STEPS_POSE = _arg("--steps", 8000)
@@ -106,7 +113,7 @@ _tmpl44 = so3_grid.load_obj_poses(2)[_tidx].copy()
 _tmpl44[:, :3, 3] *= 2.0  # grid stores 0.5 m camera distance; match radius 1.0
 
 data = {}  # per object: dict(train_views, train_R, queries, query_R, ref, ref_R)
-for obj in list(range(N_TRAIN_OBJ)) + HELDOUT_OBJS:  # skip unused in ablations
+for obj in TRAIN_IDS + HELDOUT_OBJS:  # skip unused in ablations
     pts, cols = make_points(obj)
     prng = np.random.default_rng(5000 + obj)
     poses_train = _tmpl44
@@ -124,6 +131,13 @@ for obj in list(range(N_TRAIN_OBJ)) + HELDOUT_OBJS:  # skip unused in ablations
         "ref": r(poses_ref[0]),
         "ref_R": poses_ref[0, :3, :3].astype(np.float32),
     })
+    if EXTRA_HO_QUERIES and obj in HELDOUT_OBJS:
+        erng = np.random.default_rng(6000 + obj)
+        poses_extra = sample_camera_poses(erng, EXTRA_HO_QUERIES, 1.0)
+        data[obj]["queries"] = np.concatenate(
+            [data[obj]["queries"], np.stack([r(p) for p in poses_extra])])
+        data[obj]["query_R"] = np.concatenate(
+            [data[obj]["query_R"], poses_extra[:, :3, :3].astype(np.float32)])
     print(f"rendered obj {obj} ({time.time()-t0:.0f}s)", flush=True)
 
 grid341 = so3_grid.get_obj_poses_from_template_level(2, "upper")[:, :3, :3]
@@ -167,9 +181,9 @@ else:
     # -------------------------------------------------------------------
     import optax
     vae_imgs = np.concatenate(
-        [data[o]["train_views"] for o in range(N_TRAIN_OBJ)]
-        + [data[o]["queries"] for o in range(N_TRAIN_OBJ)]
-        + [data[o]["ref"][None] for o in range(N_TRAIN_OBJ)]
+        [data[o]["train_views"] for o in TRAIN_IDS]
+        + [data[o]["queries"] for o in TRAIN_IDS]
+        + [data[o]["ref"][None] for o in TRAIN_IDS]
     )
     print(f"stage1: {len(vae_imgs)} images", flush=True)
     vtx = optax.adamw(2e-4)
@@ -228,8 +242,9 @@ def make_batch(rng):
 
 
 # device-resident training set: (N_TRAIN_OBJ, 26, IMG, IMG, 3) uint8
-views_dev = jnp.asarray(np.stack([data[o]["train_views"] for o in range(N_TRAIN_OBJ)]))
-Rs_dev = jnp.asarray(np.stack([data[o]["train_R"] for o in range(N_TRAIN_OBJ)]))
+# (stacked in TRAIN_IDS order; make_batch indexes positions, not ids)
+views_dev = jnp.asarray(np.stack([data[o]["train_views"] for o in TRAIN_IDS]))
+Rs_dev = jnp.asarray(np.stack([data[o]["train_R"] for o in TRAIN_IDS]))
 
 import functools
 
@@ -259,7 +274,7 @@ _eval_jit = jax.jit(
 )
 
 
-def eval_group(params_h, objs, label, use_train_views=False):
+def eval_group(params_h, objs, label, use_train_views=False, n_queries=None):
     """objs: list of object indexes; queries = their held-out query
     views (or, diagnostic, the first N_QUERY SEEN training views),
     reference = their single held-out reference view."""
@@ -270,7 +285,7 @@ def eval_group(params_h, objs, label, use_train_views=False):
         b6 = np.asarray(matrix_to_rotation_6d(jnp.asarray(rel)), np.float32)
         qs = d["train_views"] if use_train_views else d["queries"]
         qR = d["train_R"] if use_train_views else d["query_R"]
-        for i in range(N_QUERY):
+        for i in range(n_queries if n_queries is not None else N_QUERY):
             q_imgs.append(qs[i]); refs.append(d["ref"])
             bank_Rs.append(b6); gt_R.append(qR[i])
             tr = np.einsum("nij,kj->nik", grid341, qR[i])
@@ -319,11 +334,18 @@ for step in range(start_step, STEPS_POSE + 1):
     if step % EVAL_EVERY == 0 or step == STEPS_POSE:
         params_h = cast_half({"unet": state.unet_params, "vae": state.vae_params})
         print(f"--- step {step} ({time.time()-t0:.0f}s)", flush=True)
-        sv = eval_group(params_h, list(range(4)), f"seen_train_views@{step}",
+        sv = eval_group(params_h, TRAIN_IDS[:4], f"seen_train_views@{step}",
                         use_train_views=True)
-        hv = eval_group(params_h, list(range(N_TRAIN_OBJ)), f"heldout_views@{step}")
+        # cap at the first 24 train objects so the group stays
+        # protocol-identical (and cost-comparable) across the ablation
+        hv = eval_group(params_h, TRAIN_IDS[:24], f"heldout_views@{step}")
         ho = eval_group(params_h, HELDOUT_OBJS, f"heldout_objects@{step}")
         history.append({"step": step, "seen": sv, "views": hv, "objects": ho})
+        if EXTRA_HO_QUERIES:
+            how = eval_group(params_h, HELDOUT_OBJS,
+                             f"heldout_objects_wide@{step}",
+                             n_queries=N_QUERY + EXTRA_HO_QUERIES)
+            history[-1]["objects_wide"] = how
         json.dump(history, open(os.path.join(OUT, "history.json"), "w"), indent=1)
     if step < STEPS_POSE:
         state, metrics = step_indexed(state, views_dev, Rs_dev, *make_batch(rng))

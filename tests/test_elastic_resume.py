@@ -22,6 +22,8 @@ import os, sys
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
 import jax
 jax.config.update("jax_platforms", "cpu")
+from nope_tpu.utils.env import enable_compilation_cache
+enable_compilation_cache()  # warm suite runs skip the worker recompiles
 
 phase, save_dir = sys.argv[1], sys.argv[2]
 
@@ -96,7 +98,7 @@ def test_resume_after_process_death(tmp_path):
     def run(phase):
         p = subprocess.run(
             [sys.executable, str(script), phase, str(save_dir)],
-            capture_output=True, text=True, env=env, timeout=420,
+            capture_output=True, text=True, env=env, timeout=900,
         )
         return p
 
