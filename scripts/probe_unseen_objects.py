@@ -63,7 +63,14 @@ TRAIN_IDS = list(range(min(24, N_TRAIN_OBJ))) + list(range(28, 28 + max(0, N_TRA
 # drawn from a SEPARATE rng stream (6000+obj) so the standard protocol's
 # draws (and hence cross-run comparability) are untouched
 EXTRA_HO_QUERIES = _arg("--extra-ho-queries", 0)
-N_TRAIN_VIEWS, N_QUERY, N_REF = 26, 6, 1  # 26 = fast grid
+# recipe variant: append K CONTINUOUS random training views per object
+# (rng 8000+obj).  The default recipe trains on grid-view pairs only, so
+# the dR distribution is the discrete grid x grid set; query-time dR is
+# continuous — this flag closes that train/test distribution gap the way
+# the reference's random-view ShapeNet renders do (SURVEY §2.6)
+RAND_VIEWS = _arg("--rand-views", 0)
+N_TRAIN_VIEWS = 26 + RAND_VIEWS  # 26 = fast grid (+ optional random views)
+N_QUERY, N_REF = 6, 1
 STEPS_VAE = 700
 STEPS_POSE = _arg("--steps", 8000)
 EVAL_EVERY = _arg("--eval-every", 2000)
@@ -117,6 +124,10 @@ for obj in TRAIN_IDS + HELDOUT_OBJS:  # skip unused in ablations
     pts, cols = make_points(obj)
     prng = np.random.default_rng(5000 + obj)
     poses_train = _tmpl44
+    if RAND_VIEWS and obj in TRAIN_IDS:
+        rrng = np.random.default_rng(8000 + obj)
+        poses_train = np.concatenate(
+            [_tmpl44, sample_camera_poses(rrng, RAND_VIEWS, 1.0)])
     poses_query = sample_camera_poses(prng, N_QUERY, 1.0)
     poses_ref = sample_camera_poses(prng, N_REF, 1.0)
 
