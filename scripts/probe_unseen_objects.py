@@ -71,7 +71,7 @@ EXTRA_HO_QUERIES = _arg("--extra-ho-queries", 0)
 RAND_VIEWS = _arg("--rand-views", 0)
 N_TRAIN_VIEWS = 26 + RAND_VIEWS  # 26 = fast grid (+ optional random views)
 N_QUERY, N_REF = 6, 1
-STEPS_VAE = 700
+STEPS_VAE = _arg("--steps-vae", 700)
 STEPS_POSE = _arg("--steps", 8000)
 EVAL_EVERY = _arg("--eval-every", 2000)
 CKPT_EVERY = _arg("--ckpt-every", 2000)  # a 2 GB state fetch over the tunnel
