@@ -155,6 +155,9 @@ grid341 = so3_grid.get_obj_poses_from_template_level(2, "upper")[:, :3, :3]
 grid341 = grid341.astype(np.float32)
 N_T = len(grid341)
 
+# [data-gen ends] — tests/test_probe_script.py execs everything above
+# this sentinel to guard the dataset plumbing without the model build
+
 # ---------------------------------------------------------------------------
 # models + optimizer (constructed before checkpoint logic so the
 # TrainState treedef exists to unflatten into)
