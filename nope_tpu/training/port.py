@@ -82,10 +82,13 @@ def _conv(sd: StateDict, key: str) -> dict:
 
 
 def _dense_from_conv1x1(sd: StateDict, key: str) -> dict:
-    """1x1 Conv2d weights → Dense params (used by VAE attention)."""
+    """1x1 Conv2d/Conv1d weights → Dense params (VAE attention, the
+    LDM encoder's AttentionPool2d projections)."""
     w = sd[f"{key}.weight"]
     if w.ndim == 4:
         w = w[:, :, 0, 0]
+    elif w.ndim == 3:
+        w = w[:, :, 0]
     p = {"kernel": linear_kernel(w)}
     if f"{key}.bias" in sd:
         p["bias"] = sd[f"{key}.bias"]
@@ -501,6 +504,72 @@ def port_adm_unet(
                     )
                 ds //= 2
             jdx += 1
+    return params
+
+
+def port_ldm_encoder_unet(
+    sd: StateDict,
+    channel_mult: Sequence[int] = (1, 2, 4),
+    num_res_blocks: int = 2,
+    attention_resolutions: Sequence[int] = (4, 2, 1),
+    resblock_updown: bool = False,
+    pool: str = "adaptive",
+) -> dict:
+    """LDM ``EncoderUNetModel`` state dict → ``LDMEncoderUNet`` params
+    (``openaimodel.py:795-1009`` assembly order; the four ``pool``
+    heads map per ``openaimodel.py:940-975``)."""
+    params: dict = {
+        "time_dense_0": _linear(sd, "time_embed.0"),
+        "time_dense_1": _linear(sd, "time_embed.2"),
+        "conv_in": _conv(sd, "input_blocks.0.0"),
+        "mid_res_0": _ldm_resblock(sd, "middle_block.0"),
+        "mid_attn": _adm_attention(sd, "middle_block.1"),
+        "mid_res_1": _ldm_resblock(sd, "middle_block.2"),
+    }
+    idx = 1
+    ds = 1
+    for level in range(len(channel_mult)):
+        for i in range(num_res_blocks):
+            params[f"down_{level}_res_{i}"] = _ldm_resblock(sd, f"input_blocks.{idx}.0")
+            if ds in attention_resolutions:
+                params[f"down_{level}_attn_{i}"] = _adm_attention(
+                    sd, f"input_blocks.{idx}.1"
+                )
+            idx += 1
+        if level != len(channel_mult) - 1:
+            if resblock_updown:
+                params[f"down_{level}_downsample"] = _ldm_resblock(
+                    sd, f"input_blocks.{idx}.0"
+                )
+            else:
+                params[f"down_{level}_downsample"] = _conv(
+                    sd, f"input_blocks.{idx}.0.op"
+                )
+            idx += 1
+            ds *= 2
+
+    if pool == "adaptive":
+        params["out_norm"] = _norm(sd, "out.0")
+        params["out_conv"] = _conv(sd, "out.3")
+    elif pool == "attention":
+        params["out_norm"] = _norm(sd, "out.0")
+        params["out_pool"] = {
+            # torch stores (embed_dim, spacial**2 + 1); ours is (n, c)
+            "positional_embedding": np.transpose(
+                sd["out.2.positional_embedding"], (1, 0)
+            ),
+            "qkv_proj": _dense_from_conv1x1(sd, "out.2.qkv_proj"),
+            "c_proj": _dense_from_conv1x1(sd, "out.2.c_proj"),
+        }
+    elif pool == "spatial":
+        params["out_dense_0"] = _linear(sd, "out.0")
+        params["out_dense_1"] = _linear(sd, "out.2")
+    elif pool == "spatial_v2":
+        params["out_dense_0"] = _linear(sd, "out.0")
+        params["out_norm"] = _norm(sd, "out.1")
+        params["out_dense_1"] = _linear(sd, "out.3")
+    else:
+        raise ValueError(f"unexpected pool {pool!r}")
     return params
 
 

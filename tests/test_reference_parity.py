@@ -438,6 +438,65 @@ def _patched_adm_sequential(monkeypatch):
 
 
 # ---------------------------------------------------------------------------
+# LDM EncoderUNetModel + AttentionPool2d (openaimodel.py:795-1009, :33-62)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "pool,resblock_updown",
+    [
+        ("adaptive", False),
+        ("attention", False),
+        ("spatial", False),
+        ("spatial_v2", True),  # also covers the ResBlock(down=True) path
+    ],
+)
+def test_ldm_encoder_unet_vs_reference_source(rng, pool, resblock_updown):
+    """The half-U-Net classifier (all four pooling heads, incl. the CLIP
+    AttentionPool2d) against the reference's own EncoderUNetModel with
+    ported weights and REAL timestep conditioning."""
+    from src.model.u_net.ldm.openaimodel import EncoderUNetModel
+
+    from nope_tpu.models.ldm_encoder import LDMEncoderUNet
+    from nope_tpu.training import port
+
+    kw = dict(
+        image_size=8, in_channels=4, model_channels=32, out_channels=10,
+        num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+        num_head_channels=16, resblock_updown=resblock_updown, pool=pool,
+    )
+    ref = _randomize(EncoderUNetModel(**kw))
+
+    mine = LDMEncoderUNet(
+        out_channels=10, model_channels=32, num_res_blocks=1,
+        attention_resolutions=(2,), channel_mult=(1, 2),
+        num_head_channels=16, resblock_updown=resblock_updown, pool=pool,
+    )
+    ported = port.port_ldm_encoder_unet(
+        _sd(ref), channel_mult=(1, 2), num_res_blocks=1,
+        attention_resolutions=(2,), resblock_updown=resblock_updown,
+        pool=pool,
+    )
+    template = mine.init(
+        jax.random.key(0), jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,))
+    )["params"]
+    port.assert_tree_shapes_match(ported, template)
+
+    x = rng.normal(size=(2, 4, 8, 8)).astype(np.float32)
+    t = np.array([3.0, 11.0], dtype=np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+    with jax.default_matmul_precision("highest"):
+        got = mine.apply(
+            {"params": jax.tree.map(jnp.asarray, ported)},
+            jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+            jnp.asarray(t),
+        )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
 # template-encoder family (encoder/template.py, base_template.py, resnet.py)
 # ---------------------------------------------------------------------------
 
