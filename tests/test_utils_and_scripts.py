@@ -407,3 +407,33 @@ def test_extract_archive_dispatches_on_extension(tmp_path):
     out = tmp_path / "out"
     extract_archive(str(tgz), str(out), unzip_mode="unzip")
     assert (out / "sub" / "payload.txt").read_text() == "hello"
+
+
+def test_configure_preset_job_logging_split(tmp_path):
+    """The reference's custom/rich job_logging presets split streams:
+    logs.out carries INFO/DEBUG only, logs.err WARNING+ only
+    (configs/hydra/job_logging/custom.yaml filters)."""
+    import logging
+
+    from nope_tpu.utils import logging as nlog
+
+    nlog.configure_preset("custom", log_dir=str(tmp_path))
+    try:
+        log = logging.getLogger("preset_probe")
+        log.info("info-line")
+        log.error("error-line")
+        for h in logging.getLogger().handlers:
+            h.flush()
+        out = (tmp_path / "logs.out").read_text()
+        err = (tmp_path / "logs.err").read_text()
+        assert "info-line" in out and "error-line" not in out
+        assert "error-line" in err and "info-line" not in err
+
+        with pytest.raises(ValueError, match="unknown job_logging"):
+            nlog.configure_preset("nope")
+        # console preset writes no files
+        nlog.configure_preset("console")
+        # rich preset falls back gracefully when rich is absent
+        nlog.configure_preset("rich", log_dir=str(tmp_path))
+    finally:
+        logging.basicConfig(force=True)  # detach the file handlers
