@@ -29,6 +29,10 @@ class OptimConfig:
     # (no loss scaling needed on TPU).  Off by default: the fp32 step is
     # the reference-recipe parity anchor.
     half_precision_train: bool = False
+    # global-norm gradient clipping; 0 = off (the reference recipe has
+    # none).  The unclipped recipe loss-spiked and lost retrieval on the
+    # round-3 64-object probe — set ~1.0 for diverse training sets.
+    clip_grad_norm: float = 0.0
 
 
 @dataclass

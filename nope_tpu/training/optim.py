@@ -68,18 +68,30 @@ def make_optimizer(
     milestones_epochs: Sequence[int] = (10, 30, 50, 100),
     gamma: float = 0.5,
     steps_per_epoch: Optional[int] = None,
+    clip_grad_norm: float = 0.0,
 ) -> optax.GradientTransformation:
+    """``clip_grad_norm`` > 0 prepends global-norm gradient clipping.
+    Off by default — the reference recipe carries no clipping
+    (``model.py:70-94``) and the default stays parity-exact — but the
+    unclipped recipe is loss-spike-prone once the data is diverse
+    enough: the round-3 64-object hardware probe blew up to loss 44 at
+    step ~2750 and never recovered retrieval (docs/PERFORMANCE.md
+    "object-count ablation"), which clipping at 1.0 prevents."""
     schedule = make_lr_schedule(
         base_lr, warm_up_steps, milestones_epochs, gamma, steps_per_epoch
     )
     if optim_name == "SGD":
-        return optax.chain(
+        tx = optax.chain(
             optax.add_decayed_weights(weight_decay),
             optax.sgd(schedule, momentum=0.9),
         )
-    if optim_name == "AdamW":
-        return optax.adamw(schedule, weight_decay=weight_decay)
-    raise ValueError(optim_name)
+    elif optim_name == "AdamW":
+        tx = optax.adamw(schedule, weight_decay=weight_decay)
+    else:
+        raise ValueError(optim_name)
+    if clip_grad_norm and clip_grad_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(clip_grad_norm), tx)
+    return tx
 
 
 def ema_update(ema_params, new_params, beta: float = 0.995):

@@ -131,6 +131,7 @@ class Trainer:
             milestones_epochs=cfg.model.optim_config.milestones_epochs,
             gamma=cfg.model.optim_config.gamma,
             steps_per_epoch=steps_per_epoch,
+            clip_grad_norm=cfg.model.optim_config.clip_grad_norm,
         )
         # LR stream for the metric log (LearningRateMonitor analogue,
         # configs/callback/lr/base.yaml)

@@ -73,6 +73,12 @@ N_TRAIN_VIEWS = 26 + RAND_VIEWS  # 26 = fast grid (+ optional random views)
 N_QUERY, N_REF = 6, 1
 STEPS_VAE = _arg("--steps-vae", 700)
 STEPS_POSE = _arg("--steps", 8000)
+# global-norm gradient clipping (0 = off, the reference-parity default).
+# The unclipped 2e-4 recipe is loss-spike-prone once the training set is
+# diverse enough: the 64-object run blew up to loss 44 at step ~2750
+# (docs/PERFORMANCE.md round-3); clipping is the probe-only mitigation
+CLIP = (float(sys.argv[sys.argv.index("--clip") + 1])
+        if "--clip" in sys.argv else 0.0)
 EVAL_EVERY = _arg("--eval-every", 2000)
 CKPT_EVERY = _arg("--ckpt-every", 2000)  # a 2 GB state fetch over the tunnel
                    # is ~13 min; checkpoint on the eval cadence or coarser
@@ -168,7 +174,7 @@ task = PoseConditionalTask(
     vae,
     TaskConfig(),
 )
-tx = make_optimizer(base_lr=2e-4, warm_up_steps=100)
+tx = make_optimizer(base_lr=2e-4, warm_up_steps=100, clip_grad_norm=CLIP)
 state = create_train_state(task, tx, jax.random.key(2), image_size=IMG)
 step_fn = make_train_step(task, tx)
 

@@ -134,3 +134,39 @@ def test_lr_schedule_milestones_inside_warmup():
     np.testing.assert_allclose(float(sched(500)), post * 0.5, rtol=1e-6)
     np.testing.assert_allclose(float(sched(999)), post * 0.5, rtol=1e-6)
     np.testing.assert_allclose(float(sched(1000)), post * 0.25, rtol=1e-6)
+
+
+def test_clip_grad_norm_bounds_the_update():
+    """make_optimizer(clip_grad_norm=c) rescales pathological gradients
+    to global norm c before AdamW, and the default (0) stays the
+    parity-exact unclipped chain (motivated by the round-3 64-object
+    probe: one unclipped spike at step ~2750 permanently destroyed
+    retrieval — docs/PERFORMANCE.md object-count ablation)."""
+    import optax
+
+    from nope_tpu.training.optim import make_optimizer
+
+    params = {"w": jnp.zeros((4, 4)), "b": jnp.zeros((4,))}
+    huge = {"w": jnp.full((4, 4), 1e6), "b": jnp.full((4,), -1e6)}
+
+    def global_norm(tree):
+        return float(optax.global_norm(tree))
+
+    tx_clip = make_optimizer(base_lr=1e-3, warm_up_steps=0, clip_grad_norm=1.0)
+    st = tx_clip.init(params)
+    upd, _ = tx_clip.update(huge, st, params)
+    # after clipping to norm 1, the AdamW moments see a unit-norm grad:
+    # the first-step update is finite and lr-scale small
+    assert global_norm(upd) < 1e-2
+    assert all(bool(jnp.all(jnp.isfinite(u))) for u in jax.tree.leaves(upd))
+
+    tx_off = make_optimizer(base_lr=1e-3, warm_up_steps=0)
+    tiny = {"w": jnp.full((4, 4), 1e-4), "b": jnp.full((4,), -1e-4)}
+    st_c = tx_clip.init(params)
+    st_o = tx_off.init(params)
+    upd_c, _ = tx_clip.update(tiny, st_c, params)
+    upd_o, _ = tx_off.update(tiny, st_o, params)
+    # below the clip threshold the two transforms are numerically
+    # identical — clipping never perturbs a healthy run
+    for a, b in zip(jax.tree.leaves(upd_c), jax.tree.leaves(upd_o)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
