@@ -48,6 +48,13 @@ class PoseEstimate:
     rotations: np.ndarray
     similarity: np.ndarray  # (B, N) pose distribution over viewpoint bins
     template_poses: np.ndarray  # (N, 3, 3) the grid (shared)
+    #: (B, 3, 3) CONTINUOUS relative rotation from gradient refinement
+    #: (``estimate(..., refine_steps=N)``) — no longer grid-snapped;
+    #: None unless refinement was requested.  No reference counterpart:
+    #: tasks/refinement.py
+    refined_relative_rotation: Optional[np.ndarray] = None
+    #: (B, 3, 3) refined absolute query rotation (ΔR̂ · R_ref)
+    refined_rotation: Optional[np.ndarray] = None
 
 
 class PoseEstimator:
@@ -106,8 +113,14 @@ class PoseEstimator:
         #: ((1, N, h, w, C) int8, (1, N, 1, 1, C) f32 scale) for "int8"
         self._banks: Dict[str, Any] = {}
         self._ref_poses: Dict[str, np.ndarray] = {}
+        #: oid → (1, h, w, C) reference latent (kept for gradient pose
+        #: refinement; ~16 KB/object) and (N, dim) f32 conditioning reps
+        self._ref_latents: Dict[str, Any] = {}
+        self._bank_reps: Dict[str, Any] = {}
         #: (unique-id tuple, stacked record) from the last estimate_many
         self._stacked_cache: tuple = (None, None)
+        #: (steps, lr, objective) → jitted score+refine program
+        self._refine_cache: Dict[tuple, Any] = {}
 
         # uint8 inputs transfer as-is and normalise ON DEVICE: on
         # high-latency links (the measured v5e tunnel) host->device
@@ -143,11 +156,17 @@ class PoseEstimator:
 
         # jitted programs (compiled once per shape); the bank broadcast
         # lives inside the jit so XLA never materialises per-query copies
-        self._register_fn = jax.jit(
-            lambda p, ref, bank_R: _store(
-                task.generate_template_bank(p, _norm(ref), bank_R, chunk_size=chunk_size)
-            ),
-        )
+        def _register(p, ref, bank_R):
+            # the reference latent is a byproduct of bank generation —
+            # keep it (it is what gradient refinement conditions on)
+            ref_lat = task.encode(p, _norm(ref), "mode")
+            bank = task.generate_template_bank(
+                p, None, bank_R, chunk_size=chunk_size,
+                reference_latent=ref_lat,
+            )
+            return _store(bank), ref_lat
+
+        self._register_fn = jax.jit(_register)
 
         def _similarity(p, q, bank_b):
             """(B,) queries vs per-query (B, N, ...) stored records →
@@ -179,6 +198,41 @@ class PoseEstimator:
         self._concat_fn = jax.jit(
             lambda parts: jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
         )
+
+        def _build_refine_program(steps: int, lr: float, objective: str):
+            """Score + continuous top-1 refinement as ONE device program
+            (encode → retrieval → ``tasks.refinement`` gradient loop):
+            the per-dispatch latency cost of refinement is zero."""
+            from nope_tpu.geometry.rotations import rotation_6d_to_matrix
+            from nope_tpu.tasks.refinement import make_pose_refiner
+
+            refiner = make_pose_refiner(
+                task, steps=steps, lr=lr, objective=objective
+            )
+
+            def run(p, q, bank, ref_lat, bank_rep):
+                q_lat = task.encode(p, _norm(q), "mode")
+                bank_b = jax.tree.map(
+                    lambda x: jnp.broadcast_to(
+                        x, (q_lat.shape[0],) + x.shape[1:]
+                    ),
+                    bank,
+                )
+                sim, idx = task.retrieval(
+                    p, None, _dequant(bank_b), query_latent=q_lat
+                )
+                init_R = rotation_6d_to_matrix(
+                    bank_rep[idx[:, 0]].astype(jnp.float32)
+                )
+                ref_b = jnp.broadcast_to(
+                    ref_lat, (q_lat.shape[0],) + ref_lat.shape[1:]
+                )
+                R_hat, _ = refiner(p, q_lat, ref_b, init_R)
+                return sim, idx, R_hat
+
+            return jax.jit(run)
+
+        self._build_refine_program = _build_refine_program
 
     @property
     def num_templates(self) -> int:
@@ -262,22 +316,27 @@ class PoseEstimator:
             jnp.asarray(self.template_poses)[None],  # (1, N, 3, 3)
             jnp.asarray(reference_poses)[:, None],  # (M, 1, 3, 3)
         )
-        bank_R = self._pose_representation(rel)  # (M, N, dim)
-        if self._half:
-            bank_R = bank_R.astype(jnp.bfloat16)
+        rel_rep = self._pose_representation(rel)  # (M, N, dim) f32
+        bank_R = rel_rep.astype(jnp.bfloat16) if self._half else rel_rep
         refs = self._device_images(reference_images)
-        banks = self._register_fn(self.params, refs, bank_R)  # (M, N, h, w, C)
+        banks, ref_lats = self._register_fn(self.params, refs, bank_R)
         # one program returning M per-object slices — a host-side slicing
         # loop would issue M extra ~25 ms dispatches on high-latency links
         parts = self._split_fn(banks) if m > 1 else (banks,)
+        lat_parts = self._split_fn(ref_lats) if m > 1 else (ref_lats,)
         for i, object_id in enumerate(object_ids):
             self._banks[object_id] = parts[i]
             self._ref_poses[object_id] = reference_poses[i]
+            self._ref_latents[object_id] = lat_parts[i]
+            # f32 conditioning reps, kept for refinement inits
+            self._bank_reps[object_id] = rel_rep[i]
         self._stacked_cache = (None, None)
 
     def deregister_object(self, object_id: str) -> None:
         self._banks.pop(object_id, None)
         self._ref_poses.pop(object_id, None)
+        self._ref_latents.pop(object_id, None)
+        self._bank_reps.pop(object_id, None)
         self._stacked_cache = (None, None)
 
     # -- persistence --------------------------------------------------------
@@ -304,6 +363,13 @@ class PoseEstimator:
                 # custom dtypes don't round-trip portably); cast at load
                 payload[f"bank:{oid}"] = np.asarray(bank, np.float32)
             payload[f"pose:{oid}"] = self._ref_poses[oid]
+            if self._ref_latents.get(oid) is not None:
+                payload[f"reflat:{oid}"] = np.asarray(
+                    self._ref_latents[oid], np.float32
+                )
+                payload[f"bankrep:{oid}"] = np.asarray(
+                    self._bank_reps[oid], np.float32
+                )
         np.savez_compressed(path, **payload)
 
     def load_registry(self, path: str) -> None:
@@ -327,11 +393,26 @@ class PoseEstimator:
                     f"saved registry layout (bank_dtype={saved_dtype!r}) does "
                     f"not match this estimator ({self.bank_dtype!r})"
                 )
+            def _load_refinement_state(oid):
+                # registries from before the refinement feature carry no
+                # latents: such objects load fine but refuse refine_steps
+                if f"reflat:{oid}" in files:
+                    self._ref_latents[oid] = jnp.asarray(
+                        data[f"reflat:{oid}"], self._image_dtype
+                    )
+                    self._bank_reps[oid] = jnp.asarray(
+                        data[f"bankrep:{oid}"], jnp.float32
+                    )
+                else:
+                    self._ref_latents[oid] = None
+                    self._bank_reps[oid] = None
+
             for key in data.files:
                 if key.startswith("bank:"):
                     oid = key[len("bank:"):]
                     self._banks[oid] = jnp.asarray(data[key], self._image_dtype)
                     self._ref_poses[oid] = data[f"pose:{oid}"]
+                    _load_refinement_state(oid)
                 elif key.startswith("bank_q8:"):
                     oid = key[len("bank_q8:"):]
                     self._banks[oid] = (
@@ -339,18 +420,54 @@ class PoseEstimator:
                         jnp.asarray(data[f"scale:{oid}"]),
                     )
                     self._ref_poses[oid] = data[f"pose:{oid}"]
+                    _load_refinement_state(oid)
 
-    def estimate(self, object_id: str, query_images: np.ndarray) -> PoseEstimate:
-        """Score (B, H, W, 3) query images against the object's bank."""
+    def estimate(
+        self,
+        object_id: str,
+        query_images: np.ndarray,
+        refine_steps: int = 0,
+        refine_lr: float = 3e-2,
+        refine_objective: str = "l2",
+    ) -> PoseEstimate:
+        """Score (B, H, W, 3) query images against the object's bank.
+
+        ``refine_steps`` > 0 additionally runs gradient pose refinement
+        (:mod:`nope_tpu.tasks.refinement`) from the retrieved top-1 —
+        encode, retrieval, and the refinement loop fuse into ONE device
+        program, and the result is a CONTINUOUS ΔR instead of a
+        grid-snapped one (``refined_relative_rotation`` /
+        ``refined_rotation`` on the returned estimate)."""
         if object_id not in self._banks:
             raise KeyError(f"object {object_id!r} is not registered")
         bank = self._banks[object_id]
         queries = self._device_images(query_images)
         if queries.ndim == 3:
             queries = queries[None]
-        sim, idx = self._score_fn(self.params, queries, bank)
+        ref_pose = np.broadcast_to(
+            self._ref_poses[object_id], (queries.shape[0], 3, 3)
+        )
+        if not refine_steps:
+            sim, idx = self._score_fn(self.params, queries, bank)
+            return self._assemble(sim, idx, ref_pose)
+        if self._ref_latents.get(object_id) is None:
+            raise ValueError(
+                f"object {object_id!r} was loaded from a registry without "
+                "reference latents; re-register it to enable refinement"
+            )
+        key = (int(refine_steps), float(refine_lr), refine_objective)
+        fn = self._refine_cache.get(key)
+        if fn is None:
+            fn = self._refine_cache[key] = self._build_refine_program(*key)
+        sim, idx, rel_hat = fn(
+            self.params, queries, bank,
+            self._ref_latents[object_id], self._bank_reps[object_id],
+        )
+        rel_hat = np.asarray(rel_hat, np.float32)
         return self._assemble(
-            sim, idx, np.broadcast_to(self._ref_poses[object_id], (sim.shape[0], 3, 3))
+            sim, idx, ref_pose,
+            refined_rel=rel_hat,
+            refined_abs=rel_hat @ ref_pose,
         )
 
     def estimate_many(
@@ -387,7 +504,11 @@ class PoseEstimator:
         ref_poses = np.stack([self._ref_poses[oid] for oid in object_ids])
         return self._assemble(sim, idx, ref_poses)
 
-    def _assemble(self, sim, idx, ref_poses: np.ndarray) -> PoseEstimate:
+    def _assemble(
+        self, sim, idx, ref_poses: np.ndarray,
+        refined_rel: Optional[np.ndarray] = None,
+        refined_abs: Optional[np.ndarray] = None,
+    ) -> PoseEstimate:
         idx_np = np.asarray(idx)
         retrieved = self.template_poses[idx_np]  # (B, k, 3, 3)
         # per-query reference poses: ΔR_i = T_i · R_ref,iᵀ
@@ -398,4 +519,6 @@ class PoseEstimator:
             rotations=retrieved,
             similarity=np.asarray(sim, np.float32),
             template_poses=self.template_poses,
+            refined_relative_rotation=refined_rel,
+            refined_rotation=refined_abs,
         )

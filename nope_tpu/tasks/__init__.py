@@ -5,3 +5,7 @@ from nope_tpu.tasks.pose_conditional import (  # noqa: F401
     PoseConditionalTask,
     TaskConfig,
 )
+from nope_tpu.tasks.refinement import (  # noqa: F401
+    make_pose_refiner,
+    refine_pose,
+)

@@ -1,0 +1,185 @@
+"""Continuous pose refinement (tasks/refinement.py): gradient descent
+through the U-Net must (a) recover a known pose from a perturbed init
+when the target embedding is the model's own prediction, and (b) on a
+TRAINED model, improve the retrieved top-1 pose beyond the template
+grid — the capability the reference's sequential loop cannot offer
+(its answers are grid-snapped, ``model.py:254-266``)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.fixtures import make_procedural_shapenet
+from nope_tpu.geometry.rotations import (
+    matrix_to_rotation_6d,
+    random_rotations,
+    rotation_6d_to_matrix,
+)
+from nope_tpu.models.unet import PoseUNet
+from nope_tpu.models.vae import StableDiffusionVAE
+from nope_tpu.tasks.pose_conditional import PoseConditionalTask, TaskConfig
+from nope_tpu.tasks.refinement import make_pose_refiner, refine_pose
+
+IMG = 32
+
+
+def geodesic_deg(a, b):
+    tr = np.einsum("bij,bkj->bik", np.asarray(a, np.float64), np.asarray(b, np.float64))
+    cos = (np.trace(tr, axis1=1, axis2=2) - 1.0) / 2.0
+    return np.degrees(np.arccos(np.clip(cos, -1.0, 1.0)))
+
+
+def small_rotation(key, n, max_deg):
+    """(n, 3, 3) rotations with angle <= max_deg (axis-angle draw)."""
+    k1, k2 = jax.random.split(key)
+    axis = jax.random.normal(k1, (n, 3))
+    axis = axis / jnp.linalg.norm(axis, axis=-1, keepdims=True)
+    ang = jax.random.uniform(k2, (n, 1), minval=0.3, maxval=1.0) * np.radians(max_deg)
+    # Rodrigues
+    K = jnp.cross(jnp.eye(3)[None], axis[:, None, :] * jnp.ones((n, 3, 3)))
+    K = jnp.stack(
+        [
+            jnp.stack([jnp.zeros(n), -axis[:, 2], axis[:, 1]], -1),
+            jnp.stack([axis[:, 2], jnp.zeros(n), -axis[:, 0]], -1),
+            jnp.stack([-axis[:, 1], axis[:, 0], jnp.zeros(n)], -1),
+        ],
+        axis=1,
+    )
+    s, c = jnp.sin(ang)[..., None], jnp.cos(ang)[..., None]
+    return jnp.eye(3)[None] + s * K + (1 - c) * (K @ K)
+
+
+@pytest.fixture(scope="module")
+def tiny_task():
+    task = PoseConditionalTask(
+        PoseUNet(u_net_dim=16, channels=4, dim_mults=(1, 2), resnet_block_groups=8),
+        StableDiffusionVAE(
+            block_out_channels=(16, 16, 16, 16), layers_per_block=1,
+            latent_channels=4, groups=8,
+        ),
+        TaskConfig(half_precision_eval=False),
+    )
+    params = task.init(jax.random.key(0), image_size=IMG)
+    return task, params
+
+
+def test_refiner_recovers_perturbed_pose(tiny_task):
+    """Self-consistency: target = the model's own prediction at R*;
+    starting ~20 deg away, refinement must move every-sample median
+    toward R* and never return an invalid rotation or a worse
+    objective than its init (the fallback clause)."""
+    task, params = tiny_task
+    B = 6
+    ref_lat = jax.random.normal(jax.random.key(1), (B, IMG // 8, IMG // 8, 4)) * 0.3
+    R_true = random_rotations(jax.random.key(2), B)
+    target = task.predict_latent(params, ref_lat, matrix_to_rotation_6d(R_true))
+
+    R_init = small_rotation(jax.random.key(3), B, 20.0) @ R_true
+    err_init = geodesic_deg(np.asarray(R_init), np.asarray(R_true))
+    assert np.median(err_init) > 5.0  # the perturbation is real
+
+    refiner = make_pose_refiner(task, steps=80, lr=2e-2)
+    R_ref, dist = jax.jit(refiner)(params, target, ref_lat, R_init)
+
+    # valid rotations out
+    RtR = np.einsum("bji,bjk->bik", np.asarray(R_ref), np.asarray(R_ref))
+    np.testing.assert_allclose(RtR, np.eye(3)[None].repeat(B, 0), atol=1e-5)
+
+    err_ref = geodesic_deg(np.asarray(R_ref), np.asarray(R_true))
+    print(f"refinement: init err median {np.median(err_init):.2f} deg -> "
+          f"{np.median(err_ref):.2f} deg; dist {np.asarray(dist)}")
+    assert np.median(err_ref) < 0.5 * np.median(err_init)
+    # the objective at the returned pose never exceeds the init's
+    d6_init = matrix_to_rotation_6d(R_init)
+    pred_init = task.predict_latent(params, ref_lat, d6_init)
+    d_init = np.asarray(jnp.mean(jnp.square(pred_init - target), axis=(1, 2, 3)))
+    assert np.all(np.asarray(dist) <= d_init + 1e-7)
+
+
+def test_refinement_beats_grid_retrieval_on_trained_model(tmp_path_factory):
+    """End-to-end: train the tiny pipeline on procedural renders (the
+    test_learning recipe, but a symmetry-free category so the full
+    SO(3) metric applies), retrieve over the COARSE 26-template fast
+    grid — whose floor for continuous queries is ~25-30° — then refine
+    the retrieved top-1 ΔR: refinement must beat the grid-snapped
+    answer in median and on a clear majority of queries.  This is the
+    deployment shape of the capability: a cheap coarse sweep + a
+    constant number of gradient steps instead of a 13× larger fine
+    sweep."""
+    from nope_tpu.data.shapenet import ShapeNetDataset
+    from nope_tpu.training.optim import make_optimizer
+    from nope_tpu.training.train_state import create_train_state, make_train_step
+
+    root = make_procedural_shapenet(
+        str(tmp_path_factory.mktemp("refine_proc")),
+        categories=("chair",), objects_per_cat=2,
+    )
+    ds = ShapeNetDataset(root, split="chair", img_size=IMG, fast_evaluation=True)
+    items = [ds[i] for i in range(len(ds))]
+    eval_batch = {
+        k: jnp.asarray(np.stack([it[k] for it in items])) for k in items[0]
+    }
+
+    task = PoseConditionalTask(
+        PoseUNet(u_net_dim=16, channels=4, dim_mults=(1, 2), resnet_block_groups=8),
+        StableDiffusionVAE(
+            block_out_channels=(16, 16, 16, 16), layers_per_block=1,
+            latent_channels=4, groups=8,
+        ),
+        TaskConfig(half_precision_eval=False),
+    )
+    tx = make_optimizer(base_lr=2e-3, warm_up_steps=10)
+    state = create_train_state(task, tx, jax.random.key(0), image_size=IMG)
+    step_fn = make_train_step(task, tx)
+
+    def inv6(d6):
+        return matrix_to_rotation_6d(
+            jnp.swapaxes(rotation_6d_to_matrix(jnp.asarray(d6)[None]), -1, -2)
+        )[0]
+
+    rng = np.random.default_rng(0)
+    for _ in range(120):
+        sel = rng.integers(0, len(items), 4)
+        batch = {"ds": {
+            "query": jnp.asarray(np.stack([items[i]["query"] for i in sel])),
+            "reference": jnp.asarray(np.stack([items[i]["reference"] for i in sel])),
+            "relativeR": jnp.asarray(
+                np.stack([items[i]["gt_relativeR"] for i in sel])),
+            "relativeR_inv": jnp.asarray(
+                np.stack([np.asarray(inv6(items[i]["gt_relativeR"])) for i in sel])),
+        }}
+        state, _ = step_fn(state, batch)
+
+    params = {"unet": state.unet_params, "vae": state.vae_params}
+    out = jax.jit(task.eval_geodesic_step)(params, eval_batch)
+    top1 = np.asarray(out["nearest_idx"])[:, 0]
+    err_grid = np.asarray(out["errors_topk"])[:, 0]
+
+    # refined DELTA-R init = the retrieved template's conditioning 6d
+    all_rel = np.asarray(eval_batch["all_relativeR"])  # (B, N, 6)
+    B = all_rel.shape[0]
+    init_rel = rotation_6d_to_matrix(
+        jnp.asarray(all_rel[np.arange(B), top1])
+    )
+    q_lat = task.encode(params, eval_batch["query"], "mode")
+    r_lat = task.encode(params, eval_batch["reference"], "mode")
+    refiner = make_pose_refiner(task, steps=60, lr=2e-2)
+    rel_refined, _ = jax.jit(refiner)(params, q_lat, r_lat, init_rel)
+
+    # absolute refined pose: R_q = dR · R_ref, with R_ref recovered from
+    # any (template, conditioning) pair of the batch row
+    tpl = np.asarray(eval_batch["template_poses"])[:, :, :3, :3]
+    rel0 = np.asarray(rotation_6d_to_matrix(jnp.asarray(all_rel[:, 0])))
+    R_ref = np.swapaxes(rel0, -1, -2) @ tpl[:, 0]
+    R_q_refined = np.asarray(rel_refined) @ R_ref
+    err_refined = geodesic_deg(R_q_refined, np.asarray(eval_batch["query_pose"]))
+
+    print(f"grid top-1 median {np.median(err_grid):.2f} deg -> refined "
+          f"{np.median(err_refined):.2f} deg "
+          f"(improved {np.mean(err_refined < err_grid - 1e-6):.2f} of queries)")
+    # the coarse grid floors at ~25-30 deg for continuous queries;
+    # refinement must recover a clear margin below it
+    assert np.median(err_refined) < 0.75 * np.median(err_grid)
+    assert np.mean(err_refined <= err_grid + 0.5) >= 0.65

@@ -335,3 +335,76 @@ def test_int8_banks_agree_with_full_precision(rng, tmp_path):
     with pytest.raises(ValueError, match="layout"):
         full2 = PoseEstimator(task, params, fast_evaluation=True)
         full2.load_registry(reg)
+
+
+def test_estimate_with_refinement(estimator, rng):
+    """refine_steps>0 returns a CONTINUOUS refined ΔR: a valid rotation,
+    generally off-grid, with absolute = ΔR̂ · R_ref; the grid outputs are
+    unchanged and refinement composes with the one-dispatch path (the
+    program is cached per (steps, lr, objective))."""
+    ref = rng.uniform(-1, 1, (IMG, IMG, 3)).astype(np.float32)
+    estimator.register_object("refine_me", ref)
+    q = rng.uniform(-1, 1, (2, IMG, IMG, 3)).astype(np.float32)
+
+    plain = estimator.estimate("refine_me", q)
+    assert plain.refined_relative_rotation is None
+
+    out = estimator.estimate("refine_me", q, refine_steps=8, refine_lr=2e-2)
+    r = out.refined_relative_rotation
+    assert r.shape == (2, 3, 3)
+    RtR = np.einsum("bji,bjk->bik", r, r)
+    np.testing.assert_allclose(RtR, np.eye(3)[None].repeat(2, 0), atol=1e-4)
+    assert np.allclose(np.linalg.det(r), 1.0, atol=1e-4)
+    # grid outputs identical to the unrefined call
+    np.testing.assert_array_equal(out.nearest_idx, plain.nearest_idx)
+    ref_pose = estimator.template_poses[0]
+    np.testing.assert_allclose(
+        out.refined_rotation, r @ ref_pose, atol=1e-5
+    )
+    # second call hits the cached compiled program
+    out2 = estimator.estimate("refine_me", q, refine_steps=8, refine_lr=2e-2)
+    np.testing.assert_allclose(
+        out2.refined_relative_rotation, r, atol=1e-6
+    )
+    estimator.deregister_object("refine_me")
+
+
+def test_refinement_state_survives_registry_roundtrip(estimator, rng, tmp_path):
+    """save_registry persists the reference latents + conditioning reps,
+    so a reloaded serving process can still refine; registries written
+    before the feature (no latents) load but refuse refine_steps."""
+    ref = rng.uniform(-1, 1, (IMG, IMG, 3)).astype(np.float32)
+    estimator.register_object("persist_refine", ref)
+    q = rng.uniform(-1, 1, (1, IMG, IMG, 3)).astype(np.float32)
+    want = estimator.estimate("persist_refine", q, refine_steps=6)
+
+    path = str(tmp_path / "registry.npz")
+    estimator.save_registry(path)
+
+    fresh = PoseEstimator(
+        estimator.task, estimator.params, fast_evaluation=True
+    )
+    fresh.load_registry(path)
+    got = fresh.estimate("persist_refine", q, refine_steps=6)
+    np.testing.assert_allclose(
+        got.refined_relative_rotation,
+        want.refined_relative_rotation,
+        atol=2e-5,
+    )
+
+    # simulate a pre-refinement registry: strip the latent keys
+    with np.load(path) as data:
+        stripped = {
+            k: data[k] for k in data.files
+            if not (k.startswith("reflat:") or k.startswith("bankrep:"))
+        }
+    old_path = str(tmp_path / "old_registry.npz")
+    np.savez_compressed(old_path, **stripped)
+    older = PoseEstimator(
+        estimator.task, estimator.params, fast_evaluation=True
+    )
+    older.load_registry(old_path)
+    assert older.estimate("persist_refine", q).nearest_idx.shape == (1, 5)
+    with pytest.raises(ValueError, match="re-register"):
+        older.estimate("persist_refine", q, refine_steps=6)
+    estimator.deregister_object("persist_refine")
