@@ -53,6 +53,9 @@ def main(argv=None):
     parser.add_argument("--config", default=None)
     parser.add_argument("--fast", action="store_true",
                         help="26-template fast grid instead of 341")
+    parser.add_argument("--refine-steps", type=int, default=0,
+                        help="gradient pose-refinement steps from the "
+                             "retrieved top-1 (continuous, off-grid ΔR)")
     parser.add_argument("--out", default=None)
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
@@ -84,27 +87,31 @@ def main(argv=None):
     queries = np.stack(
         [_load_image(p, cfg.model.img_size) for p in args.queries]
     )
-    result = est.estimate("object", queries)
+    result = est.estimate("object", queries, refine_steps=args.refine_steps)
 
     report = []
     for i, qpath in enumerate(args.queries):
         rel = result.relative_rotations[i]
-        report.append(
-            {
-                "query": qpath,
-                "topk_template_idx": result.nearest_idx[i].tolist(),
-                # ΔR taking the reference view to the query view — the
-                # quantity NOPE estimates
-                "topk_relative_rotations": rel.tolist(),
-                "topk_relative_rotation6d": rel[:, :2, :]
-                .reshape(len(rel), 6)
-                .tolist(),
-                # the retrieved grid poses (absolute only if the object
-                # truly sat at the registered reference pose)
-                "topk_template_rotations": result.rotations[i].tolist(),
-                "similarity": result.similarity[i].tolist(),
-            }
-        )
+        entry = {
+            "query": qpath,
+            "topk_template_idx": result.nearest_idx[i].tolist(),
+            # ΔR taking the reference view to the query view — the
+            # quantity NOPE estimates
+            "topk_relative_rotations": rel.tolist(),
+            "topk_relative_rotation6d": rel[:, :2, :]
+            .reshape(len(rel), 6)
+            .tolist(),
+            # the retrieved grid poses (absolute only if the object
+            # truly sat at the registered reference pose)
+            "topk_template_rotations": result.rotations[i].tolist(),
+            "similarity": result.similarity[i].tolist(),
+        }
+        if result.refined_relative_rotation is not None:
+            # continuous (off-grid) refinement of the top-1 ΔR
+            entry["refined_relative_rotation"] = (
+                result.refined_relative_rotation[i].tolist()
+            )
+        report.append(entry)
     payload = {"num_templates": est.num_templates, "results": report}
     out = json.dumps(payload, indent=2)
     if args.out:

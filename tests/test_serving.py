@@ -95,6 +95,7 @@ def test_infer_cli(tmp_path, rng):
     out = str(tmp_path / "poses.json")
     main([
         "--reference", ref, "--queries", q1, q2, "--fast", "--out", out,
+        "--refine-steps", "4",
         "model.img_size=32", "model.u_net.u_net_dim=8",
         "model.u_net.dim_mults=1,2", "model.u_net.resnet_block_groups=4",
         "model.encoder.block_out_channels=8,8,8,8",
@@ -110,6 +111,9 @@ def test_infer_cli(tmp_path, rng):
     assert np.asarray(r["topk_relative_rotations"]).shape == (5, 3, 3)
     assert np.asarray(r["topk_template_rotations"]).shape == (5, 3, 3)
     assert len(r["similarity"]) == 26
+    refined = np.asarray(r["refined_relative_rotation"])
+    assert refined.shape == (3, 3)
+    np.testing.assert_allclose(refined.T @ refined, np.eye(3), atol=1e-4)
 
 
 def test_batch_registration_matches_sequential(estimator, rng):
