@@ -37,6 +37,11 @@ def main(argv=None):
     parser.add_argument("--mesh-data", type=int, default=None,
                         help="shard eval over a (data, template) mesh")
     parser.add_argument("--mesh-template", type=int, default=1)
+    parser.add_argument("--refine-steps", type=int, default=0,
+                        help="continuous pose-refinement steps from the "
+                             "retrieved top-1 (0 = grid-snapped, the "
+                             "reference protocol); adds 'refined, *' scores")
+    parser.add_argument("--refine-lr", type=float, default=3e-2)
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
@@ -124,6 +129,8 @@ def main(argv=None):
         max_batches=args.max_batches,
         save_dir=os.path.join(cfg.save_dir, "predictions"),
         mesh=mesh,
+        refine_steps=args.refine_steps,
+        refine_lr=args.refine_lr,
     )
     out_path = os.path.join(cfg.save_dir, "scores.json")
     with open(out_path, "w") as f:

@@ -70,9 +70,17 @@ def evaluate_geodesic(
     max_batches: Optional[int] = None,
     mesh=None,
     sync_processes: bool = True,
+    refine_steps: int = 0,
+    refine_lr: float = 3e-2,
 ) -> Dict[str, float]:
     """Run the geodesic eval over a loader; returns aggregated scores
     (mean over batches of accuracy, median over all errors, mean loss).
+
+    ``refine_steps > 0`` also refines every retrieved top-1 pose
+    continuously (tasks/refinement.py) inside the same device program
+    and adds ``refined, median`` / ``refined, accuracy_15/30`` scores —
+    the off-grid capability the reference's grid-snapped retrieval
+    cannot offer.
 
     With ``mesh`` (a (data, template) Mesh) the batch is sharded over
     the data axis and the template bank over the template axis, so the
@@ -82,7 +90,10 @@ def evaluate_geodesic(
     prediction/media files are rank-suffixed (``model.py:146,365``) and
     with ``sync_processes`` the final scores are the all-gathered global
     ones, identical on every process."""
-    step_fn = jax.jit(task.eval_geodesic_step, static_argnames=("chunk_size",))
+    step_fn = jax.jit(
+        task.eval_geodesic_step,
+        static_argnames=("chunk_size", "refine_steps", "refine_lr"),
+    )
     # rank-suffix all written artifacts so multi-host runs never collide
     # on shared storage (reference model.py:146,365)
     rank = jax.process_index()
@@ -102,6 +113,7 @@ def evaluate_geodesic(
         return shard_eval_batch(batch, mesh)
 
     all_errors = []
+    all_refined = []
     losses = []
     steady_batch = None
     t0 = time.perf_counter()
@@ -132,19 +144,35 @@ def evaluate_geodesic(
                 return v
 
             device_batch = {k: _pad(v) for k, v in device_batch.items()}
-        out = step_fn(params, place(device_batch), chunk_size=chunk_size)
+        out = step_fn(
+            params,
+            place(device_batch),
+            chunk_size=chunk_size,
+            refine_steps=refine_steps,
+            refine_lr=refine_lr,
+        )
         all_errors.append(np.asarray(out["errors_topk"])[:valid])
+        if refine_steps:
+            all_refined.append(np.asarray(out["refined_error_deg"])[:valid])
         if valid == steady_batch:  # padded-batch losses would be skewed
             losses.append(float(out["loss"]))
 
         if save_dir is not None:
             os.makedirs(save_dir, exist_ok=True)
-            np.savez(
-                os.path.join(save_dir, f"pred_{tag}_batch{i}_rank{rank}.npz"),
+            dump = dict(
                 similarity=np.asarray(out["similarity"])[:valid],
                 nearest_idx=np.asarray(out["nearest_idx"])[:valid],
                 error_deg=np.asarray(out["error_deg"])[:valid],
                 query_pose=np.asarray(batch["query_pose"]),
+            )
+            if refine_steps:
+                dump["refined_R"] = np.asarray(out["refined_R"])[:valid]
+                dump["refined_error_deg"] = np.asarray(
+                    out["refined_error_deg"]
+                )[:valid]
+            np.savez(
+                os.path.join(save_dir, f"pred_{tag}_batch{i}_rank{rank}.npz"),
+                **dump,
             )
             # retrieval panel (reference model.py:325-351) for the first
             # batch, when the dataset was built with load_gt_templates
@@ -207,13 +235,24 @@ def evaluate_geodesic(
     errors = (
         np.concatenate(all_errors, axis=0) if all_errors else np.zeros((0, k))
     )  # (num_images, k)
+    if refine_steps:
+        refined = (
+            np.concatenate(all_refined, axis=0)
+            if all_refined
+            else np.zeros((0,))
+        )
+        # ride the top-k gather as an extra column so the cross-process
+        # merge stays one collective
+        errors = np.concatenate([errors, refined[:, None]], axis=1)
     elapsed = time.perf_counter() - t0
     loss_sum, loss_count = float(np.sum(losses)), len(losses)
     merged = sync_processes and jax.process_count() > 1
     if merged:
         errors, loss_sum, loss_count = _merge_across_processes(
-            errors.astype(np.float32), loss_sum, loss_count, k
+            errors.astype(np.float32), loss_sum, loss_count, errors.shape[1]
         )
+    if refine_steps:
+        errors, refined = errors[:, :k], errors[:, k]
     scores: Dict[str, float] = {
         "loss": loss_sum / loss_count if loss_count else float("nan"),
         # after a merge both counters are GLOBAL (all processes ran
@@ -232,6 +271,14 @@ def evaluate_geodesic(
                     np.mean(best <= threshold) * 100
                 )
             scores[f"top{k}, median"] = float(np.sort(best)[(len(best) - 1) // 2])
+        if refine_steps:
+            for threshold in (15.0, 30.0):
+                scores[f"refined, accuracy_{int(threshold)}"] = float(
+                    np.mean(refined <= threshold) * 100
+                )
+            scores["refined, median"] = float(
+                np.sort(refined)[(len(refined) - 1) // 2]
+            )
     return scores
 
 

@@ -308,7 +308,12 @@ class PoseConditionalTask:
     # -- evaluation ----------------------------------------------------------
 
     def eval_geodesic_step(
-        self, params, batch: Dict[str, jax.Array], chunk_size: Optional[int] = None
+        self,
+        params,
+        batch: Dict[str, jax.Array],
+        chunk_size: Optional[int] = None,
+        refine_steps: int = 0,
+        refine_lr: float = 3e-2,
     ) -> Dict[str, Any]:
         """Device portion of the geodesic eval (``model.py:268-376``):
         loss, template bank, retrieval, symmetry-aware accuracy.
@@ -316,6 +321,12 @@ class PoseConditionalTask:
         ``batch`` keys: query, reference, gt_relativeR, all_relativeR
         (B, N, pose_dim), query_pose (B, 3, 3), template_poses
         (B, N, 3, 3) (shared grid), symmetry (B,).
+
+        ``refine_steps > 0`` additionally refines the retrieved top-1
+        pose continuously (tasks/refinement.py — no reference
+        counterpart; its answers are grid-snapped, ``model.py:254-266``)
+        and reports the symmetry-aware ``refined_error_deg``, still one
+        device program.
         """
         loss = self.forward_loss(
             params, batch["query"], batch["reference"], batch["gt_relativeR"]
@@ -345,7 +356,7 @@ class PoseConditionalTask:
         symmetry = jnp.reshape(batch["symmetry"], (-1,))
         error, acc = self.metric(pred_R, batch["query_pose"], symmetry)
         errors_topk = self.metric.topk_errors(pred_R, batch["query_pose"], symmetry)
-        return {
+        out = {
             "loss": loss,
             "similarity": similarity,
             "nearest_idx": nearest,
@@ -353,3 +364,38 @@ class PoseConditionalTask:
             "errors_topk": errors_topk,
             **acc,
         }
+        if refine_steps:
+            from nope_tpu.geometry.rotations import rotation_6d_to_matrix
+            from nope_tpu.tasks.refinement import make_pose_refiner
+
+            hi = jax.lax.Precision.HIGHEST
+            all_rel = batch["all_relativeR"]
+            # XLA CSEs these with the identical encodes inside the
+            # retrieval above, so the refine branch adds no extra VAE cost
+            q_lat = self.encode(infer_params, query, "mode")
+            r_lat = self.encode(infer_params, reference, "mode")
+            init_rel = rotation_6d_to_matrix(
+                jnp.take_along_axis(
+                    all_rel, nearest[:, :1, None], axis=1
+                )[:, 0].astype(jnp.float32)
+            )
+            refiner = make_pose_refiner(self, steps=refine_steps, lr=refine_lr)
+            rel_refined, _ = refiner(infer_params, q_lat, r_lat, init_rel)
+            # absolute refined pose R_q = ΔR_refined · R_ref, with R_ref
+            # recovered from any (template, conditioning) pair of the
+            # row: R_ref = ΔR_0ᵀ · template_0
+            rel0 = rotation_6d_to_matrix(all_rel[:, 0].astype(jnp.float32))
+            ref_abs = jnp.einsum(
+                "bji,bjk->bik",
+                rel0,
+                batch["template_poses"][:, 0].astype(jnp.float32),
+                precision=hi,
+            )
+            refined_q = jnp.einsum(
+                "bij,bjk->bik", rel_refined, ref_abs, precision=hi
+            )
+            out["refined_R"] = refined_q
+            out["refined_error_deg"] = self.metric.topk_errors(
+                refined_q[:, None], batch["query_pose"], symmetry
+            )[:, 0]
+        return out

@@ -183,3 +183,22 @@ def test_refinement_beats_grid_retrieval_on_trained_model(tmp_path_factory):
     # refinement must recover a clear margin below it
     assert np.median(err_refined) < 0.75 * np.median(err_grid)
     assert np.mean(err_refined <= err_grid + 0.5) >= 0.65
+
+    # the same capability through the EVAL RUNNER
+    # (evaluation/geodesic.py refine_steps / the test_shapenet CLI's
+    # --refine-steps): one device program, symmetry-aware scoring
+    from nope_tpu.evaluation.geodesic import evaluate_geodesic
+
+    np_batch = {k: np.asarray(v) for k, v in eval_batch.items()}
+    scores = evaluate_geodesic(
+        task, params, [np_batch], refine_steps=60, refine_lr=2e-2,
+        sync_processes=False,
+    )
+    assert {"refined, median", "refined, accuracy_15",
+            "refined, accuracy_30"} <= scores.keys()
+    assert scores["num_images"] == len(np_batch["query"])
+    # the runner's grid scores reproduce the manual sweep exactly; its
+    # refined median must beat the grid by the same clear margin
+    assert abs(scores["top1, median"]
+               - np.sort(err_grid)[(len(err_grid) - 1) // 2]) < 1e-3
+    assert scores["refined, median"] < 0.75 * scores["top1, median"]
