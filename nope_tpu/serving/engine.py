@@ -119,6 +119,8 @@ class PoseEstimator:
         self._bank_reps: Dict[str, Any] = {}
         #: (unique-id tuple, stacked record) from the last estimate_many
         self._stacked_cache: tuple = (None, None)
+        #: (unique-id tuple, (stacked ref latents, stacked bank reps))
+        self._stacked_refine_cache: tuple = (None, None)
         #: (steps, lr, objective) → jitted score+refine program
         self._refine_cache: Dict[tuple, Any] = {}
 
@@ -234,6 +236,38 @@ class PoseEstimator:
 
         self._build_refine_program = _build_refine_program
 
+        def _build_refine_many_program(steps: int, lr: float, objective: str):
+            """The :meth:`estimate_many` variant: per-query gathers over
+            the unique-object stacks (banks, reference latents,
+            conditioning reps) happen on device, then score + refine in
+            the same single program."""
+            from nope_tpu.geometry.rotations import rotation_6d_to_matrix
+            from nope_tpu.tasks.refinement import make_pose_refiner
+
+            refiner = make_pose_refiner(
+                task, steps=steps, lr=lr, objective=objective
+            )
+
+            def run(p, q, banks, inv, ref_lats, bank_reps):
+                q_lat = task.encode(p, _norm(q), "mode")
+                bank_b = jax.tree.map(lambda x: jnp.take(x, inv, axis=0), banks)
+                sim, idx = task.retrieval(
+                    p, None, _dequant(bank_b), query_latent=q_lat
+                )
+                rep_b = jnp.take(bank_reps, inv, axis=0)  # (B, N, dim)
+                init_R = rotation_6d_to_matrix(
+                    jnp.take_along_axis(
+                        rep_b, idx[:, :1, None], axis=1
+                    )[:, 0].astype(jnp.float32)
+                )
+                ref_b = jnp.take(ref_lats, inv, axis=0)  # (B, h, w, C)
+                R_hat, _ = refiner(p, q_lat, ref_b, init_R)
+                return sim, idx, R_hat
+
+            return jax.jit(run)
+
+        self._build_refine_many_program = _build_refine_many_program
+
     @property
     def num_templates(self) -> int:
         return len(self.template_poses)
@@ -331,6 +365,7 @@ class PoseEstimator:
             # f32 conditioning reps, kept for refinement inits
             self._bank_reps[object_id] = rel_rep[i]
         self._stacked_cache = (None, None)
+        self._stacked_refine_cache = (None, None)
 
     def deregister_object(self, object_id: str) -> None:
         self._banks.pop(object_id, None)
@@ -338,6 +373,7 @@ class PoseEstimator:
         self._ref_latents.pop(object_id, None)
         self._bank_reps.pop(object_id, None)
         self._stacked_cache = (None, None)
+        self._stacked_refine_cache = (None, None)
 
     # -- persistence --------------------------------------------------------
 
@@ -376,6 +412,7 @@ class PoseEstimator:
         """Restore banks written by :meth:`save_registry` (additive:
         existing registrations are kept unless overwritten)."""
         self._stacked_cache = (None, None)
+        self._stacked_refine_cache = (None, None)
         with np.load(path) as data:
             saved_grid = data["__template_poses__"]
             if saved_grid.shape != self.template_poses.shape or not np.allclose(
@@ -471,14 +508,23 @@ class PoseEstimator:
         )
 
     def estimate_many(
-        self, object_ids: Sequence[str], query_images: np.ndarray
+        self,
+        object_ids: Sequence[str],
+        query_images: np.ndarray,
+        refine_steps: int = 0,
+        refine_lr: float = 3e-2,
+        refine_objective: str = "l2",
     ) -> PoseEstimate:
         """Mixed-object batched estimation: query i is scored against the
         bank of ``object_ids[i]``, all in ONE device program — a
         deployment batch spanning the whole registered gallery costs one
         dispatch instead of one per object id (per-dispatch latency is
         ~25 ms on high-latency links).  The per-query bank gather over
-        the unique-object stack happens on device."""
+        the unique-object stack happens on device.
+
+        ``refine_steps`` > 0 composes gradient pose refinement into the
+        same program, exactly as in :meth:`estimate` — each query is
+        refined against its OWN object's reference latent."""
         queries = self._device_images(query_images)
         if queries.ndim == 3:
             queries = queries[None]
@@ -500,9 +546,38 @@ class PoseEstimator:
         else:
             stacked = self._concat_fn([self._banks[oid] for oid in uniq])
             self._stacked_cache = (key, stacked)
-        sim, idx = self._score_many_fn(self.params, queries, stacked, inv)
         ref_poses = np.stack([self._ref_poses[oid] for oid in object_ids])
-        return self._assemble(sim, idx, ref_poses)
+        if not refine_steps:
+            sim, idx = self._score_many_fn(self.params, queries, stacked, inv)
+            return self._assemble(sim, idx, ref_poses)
+        bare = [o for o in uniq if self._ref_latents.get(o) is None]
+        if bare:
+            raise ValueError(
+                f"objects {bare!r} were loaded from a registry without "
+                "reference latents; re-register them to enable refinement"
+            )
+        # stacked refinement state rides its own cache (same key rules)
+        if self._stacked_refine_cache[0] == key:
+            ref_lats, reps = self._stacked_refine_cache[1]
+        else:
+            ref_lats = self._concat_fn(
+                [self._ref_latents[oid] for oid in uniq]
+            )  # (M, h, w, C)
+            reps = jnp.stack([self._bank_reps[oid] for oid in uniq])
+            self._stacked_refine_cache = (key, (ref_lats, reps))
+        prog_key = ("many", int(refine_steps), float(refine_lr), refine_objective)
+        fn = self._refine_cache.get(prog_key)
+        if fn is None:
+            fn = self._refine_cache[prog_key] = self._build_refine_many_program(
+                int(refine_steps), float(refine_lr), refine_objective
+            )
+        sim, idx, rel_hat = fn(self.params, queries, stacked, inv, ref_lats, reps)
+        rel_hat = np.asarray(rel_hat, np.float32)
+        return self._assemble(
+            sim, idx, ref_poses,
+            refined_rel=rel_hat,
+            refined_abs=rel_hat @ ref_poses,
+        )
 
     def _assemble(
         self, sim, idx, ref_poses: np.ndarray,

@@ -412,3 +412,46 @@ def test_refinement_state_survives_registry_roundtrip(estimator, rng, tmp_path):
     with pytest.raises(ValueError, match="re-register"):
         older.estimate("persist_refine", q, refine_steps=6)
     estimator.deregister_object("persist_refine")
+
+
+def test_estimate_many_with_refinement(estimator, rng):
+    """Mixed-object batched refinement: estimate_many(refine_steps=K)
+    refines each query against its OWN object's reference latent in the
+    one-dispatch program, and must agree with per-object
+    estimate(refine_steps=K) calls; a gallery member without persisted
+    latents refuses refinement with a clear error."""
+    refs = rng.uniform(-1, 1, (2, IMG, IMG, 3)).astype(np.float32)
+    estimator.register_objects(["ra", "rb"], refs)
+    queries = rng.uniform(-1, 1, (3, IMG, IMG, 3)).astype(np.float32)
+    ids = ["ra", "rb", "ra"]
+
+    many = estimator.estimate_many(ids, queries, refine_steps=8, refine_lr=2e-2)
+    r = many.refined_relative_rotation
+    assert r.shape == (3, 3, 3)
+    RtR = np.einsum("bji,bjk->bik", r, r)
+    np.testing.assert_allclose(RtR, np.eye(3)[None].repeat(3, 0), atol=1e-4)
+    for i, oid in enumerate(ids):
+        single = estimator.estimate(
+            oid, queries[i : i + 1], refine_steps=8, refine_lr=2e-2
+        )
+        np.testing.assert_array_equal(many.nearest_idx[i], single.nearest_idx[0])
+        np.testing.assert_allclose(
+            many.refined_relative_rotation[i],
+            single.refined_relative_rotation[0],
+            atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            many.refined_rotation[i], single.refined_rotation[0], atol=2e-4
+        )
+
+    # repeat call reuses both stacked caches (bank + refinement state)
+    again = estimator.estimate_many(ids, queries, refine_steps=8, refine_lr=2e-2)
+    np.testing.assert_allclose(again.refined_relative_rotation, r, atol=1e-6)
+    assert estimator._stacked_refine_cache[0] == ("ra", "rb")
+
+    # a gallery member lacking reference latents → explicit refusal
+    estimator._ref_latents["rb"] = None
+    with pytest.raises(ValueError, match="re-register"):
+        estimator.estimate_many(ids, queries, refine_steps=8)
+    for oid in ("ra", "rb"):
+        estimator.deregister_object(oid)
