@@ -71,11 +71,30 @@ tx = make_optimizer(base_lr=2e-4, warm_up_steps=100, clip_grad_norm=CLIP)
 state = create_train_state(task, tx, jax.random.key(2), image_size=IMG)
 treedef = jax.tree.structure(state)
 with np.load(CKPT, allow_pickle=False) as z:
-    leaves = [z[f"leaf_{i}"] for i in range(int(z["n_leaves"]))]
     ckpt_step = int(z["probe_step"])
-state = jax.tree.unflatten(treedef, [jnp.asarray(l) for l in leaves])
+    n_leaves = int(z["n_leaves"])
+    if "params_only" in z.files:
+        # bf16 params-only export (probe_unseen_objects --params-out):
+        # bf16 leaves are stored as raw uint16 (np.save cannot round-trip
+        # the ml_dtypes descr); view them back before unflattening
+        import ml_dtypes
+
+        mask = z["bf16_mask"]
+        leaves = [
+            z[f"leaf_{i}"].view(ml_dtypes.bfloat16) if mask[i] else z[f"leaf_{i}"]
+            for i in range(n_leaves)
+        ]
+        params_h = jax.tree.unflatten(
+            jax.tree.structure(
+                cast_half({"unet": state.unet_params, "vae": state.vae_params})
+            ),
+            [jnp.asarray(l) for l in leaves],
+        )
+    else:
+        leaves = [z[f"leaf_{i}"] for i in range(n_leaves)]
+        state = jax.tree.unflatten(treedef, [jnp.asarray(l) for l in leaves])
+        params_h = cast_half({"unet": state.unet_params, "vae": state.vae_params})
 print(f"loaded ckpt at step {ckpt_step}", flush=True)
-params_h = cast_half({"unet": state.unet_params, "vae": state.vae_params})
 
 # ---------------------------------------------------------------------------
 # deterministic eval views (seeds identical to probe_unseen_objects.py)

@@ -88,6 +88,12 @@ OUT = sys.argv[sys.argv.index("--out") + 1] if "--out" in sys.argv else \
     "/tmp/probe_unseen_out4"
 os.makedirs(OUT, exist_ok=True)
 CKPT = os.path.join(OUT, "ckpt.npz")
+# optional params-only bf16 export at the end of the run: ~6x smaller
+# than the full TrainState fetch (no optimizer state, half precision) —
+# what probe_refinement.py needs, without the multi-GB tunnel fetch
+# that CLAUDE.md flags as wedge-prone
+PARAMS_OUT = (sys.argv[sys.argv.index("--params-out") + 1]
+              if "--params-out" in sys.argv else "")
 
 
 # ---------------------------------------------------------------------------
@@ -374,5 +380,27 @@ for step in range(start_step, STEPS_POSE + 1):
         if step % 250 == 0:
             print(f"step {step}: loss={float(metrics['loss/train_avg']):.4f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
+
+if PARAMS_OUT:
+    import ml_dtypes
+
+    ph = cast_half({"unet": state.unet_params, "vae": state.vae_params})
+    pleaves = [np.asarray(l) for l in jax.tree.leaves(ph)]
+    bf16_mask = np.asarray(
+        [l.dtype == ml_dtypes.bfloat16 for l in pleaves], bool
+    )
+    tmp = PARAMS_OUT + ".tmp.npz"
+    np.savez(
+        tmp,
+        params_only=1,
+        probe_step=STEPS_POSE,
+        n_leaves=len(pleaves),
+        bf16_mask=bf16_mask,
+        # np.save cannot round-trip ml_dtypes.bfloat16 descr: store raw u16
+        **{f"leaf_{i}": (l.view(np.uint16) if bf16_mask[i] else l)
+           for i, l in enumerate(pleaves)},
+    )
+    os.replace(tmp, PARAMS_OUT)
+    print(f"params-only ckpt -> {PARAMS_OUT}", flush=True)
 
 print("DONE " + json.dumps(history[-1]))
