@@ -12,8 +12,11 @@ buys on the v5e:
 
 Run:  python scripts/probe_refinement.py --ckpt /tmp/probe_heroclip/ckpt.npz \
           --n-train-obj 64 --clip 1.0 [--steps 60] [--lr 2e-2]
-(the model/optimizer flags must match the run that wrote the ckpt —
-they determine the TrainState treedef the leaves unflatten into)
+(For a FULL TrainState checkpoint the model AND optimizer flags must
+match the writing run — they determine the treedef the leaves unflatten
+into.  For a ``--params-out`` params-only checkpoint only the MODEL
+construction matters; optimizer flags like --clip are irrelevant since
+no optimizer state is unflattened.)
 """
 import json
 import os
@@ -105,11 +108,21 @@ TRAIN_IDS = list(range(min(24, N_TRAIN_OBJ))) + list(
 
 
 def make_points(obj_id):
+    # mirrors probe_unseen_objects.make_points (4-family rule for ids
+    # >= 68; the eval ids used here are all <= 67 so the round-3 rule
+    # applies, but keep the functions identical to avoid drift)
     rng = np.random.default_rng(4000 + obj_id)
-    if obj_id % 2 == 0:
+    fam = obj_id % 2 if obj_id <= 67 else obj_id % 4
+    if fam == 0:
         pts = rng.normal(size=(60, 3)) * 0.12
-    else:
+    elif fam == 1:
         pts = rng.normal(size=(110, 3)) * np.array([0.055, 0.06, 0.17])
+    elif fam == 2:
+        pts = rng.normal(size=(90, 3)) * np.array([0.145, 0.125, 0.035])
+    else:
+        th = rng.uniform(0.0, 2.0 * np.pi, 120)
+        ring = np.stack([np.cos(th), np.sin(th), np.zeros_like(th)], -1) * 0.13
+        pts = ring + rng.normal(size=(120, 3)) * 0.03
     cols = rng.integers(60, 255, (len(pts), 3))
     return pts, cols
 

@@ -1,11 +1,13 @@
-"""Round-3 hardware probe: unseen-OBJECT generalization (VERDICT #2).
+"""Hardware probe: unseen-OBJECT generalization (rounds 3-4).
 
 Full from-scratch two-stage recipe at flagship scale on the v5e:
-28 procedural objects in 2 shape families; codec + pose task trained on
-24, FULL 341-grid streaming retrieval evaluated on (a) seen training
-views (diagnostic), (b) held-out VIEWS of training objects, and (c) 4
-objects NEVER seen in training — the capability NOPE actually claims
-(reference README.md:31-35, src/model/model.py:106-124).
+procedural objects in 2-4 shape families (4 families once train ids
+reach >= 68, i.e. the 128/256-object runs); codec + pose task trained
+on N objects, FULL 341-grid streaming retrieval evaluated on (a) seen
+training views (diagnostic), (b) held-out VIEWS of training objects,
+(c) 4 objects NEVER seen in training — the capability NOPE actually
+claims (reference README.md:31-35, src/model/model.py:106-124) — and
+optionally (d, ``--newfam-ho 1``) 4 objects from never-seen FAMILIES.
 
 Checkpoints every 500 optimizer steps to --out (atomic rename), resumes
 from the latest checkpoint including the numpy batch-stream state, so a
@@ -53,8 +55,15 @@ def _arg(name, default):
 
 IMG = 256
 N_TRAIN_OBJ = _arg("--n-train-obj", 24)  # ablation: vary the train-set size
-assert 4 <= N_TRAIN_OBJ <= 64
+assert 4 <= N_TRAIN_OBJ <= 256
 HELDOUT_OBJS = list(range(24, 28))       # fixed across ablations for comparability
+# round-4: an optional SECOND held-out group drawn from the two shape
+# families that only exist for train ids >= 68 (families C/D below) —
+# never-seen-FAMILY transfer, one step harder than never-seen-object.
+# ids 9002/9003/9006/9007 hit families C,D,C,D under the id%4 rule and
+# can never collide with a train id (train ids top out at 259)
+NEWFAM_HO = _arg("--newfam-ho", 0)
+HELDOUT_NEWFAM = [9002, 9003, 9006, 9007] if NEWFAM_HO else []
 # train ids: 0..23, then 28.. for runs larger than the original 24 —
 # object ids 24..27 stay held-out in EVERY run so the transfer numbers
 # are comparable across the 8/24/64 ablation
@@ -102,11 +111,23 @@ PARAMS_OUT = (sys.argv[sys.argv.index("--params-out") + 1]
 # ---------------------------------------------------------------------------
 
 def make_points(obj_id):
+    """Procedural shape zoo.  Ids <= 67 keep the round-3 2-family rule
+    bit-identical (the 8/24/64 scaling table regenerates exactly); ids
+    >= 68 — only reachable by the round-4 128/256-object runs — draw
+    from FOUR families via id%4, adding flat platelets and noisy rings
+    so the train distribution spans genuinely different topologies."""
     rng = np.random.default_rng(4000 + obj_id)
-    if obj_id % 2 == 0:  # family A: isotropic blob (round-2 style)
+    fam = obj_id % 2 if obj_id <= 67 else obj_id % 4
+    if fam == 0:  # family A: isotropic blob (round-2 style)
         pts = rng.normal(size=(60, 3)) * 0.12
-    else:  # family B: denser, elongated (bottle-like)
+    elif fam == 1:  # family B: denser, elongated (bottle-like)
         pts = rng.normal(size=(110, 3)) * np.array([0.055, 0.06, 0.17])
+    elif fam == 2:  # family C: flat platelet (tablet-like)
+        pts = rng.normal(size=(90, 3)) * np.array([0.145, 0.125, 0.035])
+    else:  # family D: noisy ring (torus-like — a hole, unlike A-C)
+        th = rng.uniform(0.0, 2.0 * np.pi, 120)
+        ring = np.stack([np.cos(th), np.sin(th), np.zeros_like(th)], -1) * 0.13
+        pts = ring + rng.normal(size=(120, 3)) * 0.03
     cols = rng.integers(60, 255, (len(pts), 3))
     return pts, cols
 
@@ -132,7 +153,7 @@ _tmpl44 = so3_grid.load_obj_poses(2)[_tidx].copy()
 _tmpl44[:, :3, 3] *= 2.0  # grid stores 0.5 m camera distance; match radius 1.0
 
 data = {}  # per object: dict(train_views, train_R, queries, query_R, ref, ref_R)
-for obj in TRAIN_IDS + HELDOUT_OBJS:  # skip unused in ablations
+for obj in TRAIN_IDS + HELDOUT_OBJS + HELDOUT_NEWFAM:  # skip unused in ablations
     pts, cols = make_points(obj)
     prng = np.random.default_rng(5000 + obj)
     poses_train = _tmpl44
@@ -367,6 +388,10 @@ for step in range(start_step, STEPS_POSE + 1):
         hv = eval_group(params_h, TRAIN_IDS[:24], f"heldout_views@{step}")
         ho = eval_group(params_h, HELDOUT_OBJS, f"heldout_objects@{step}")
         history.append({"step": step, "seen": sv, "views": hv, "objects": ho})
+        if HELDOUT_NEWFAM:
+            hf = eval_group(params_h, HELDOUT_NEWFAM,
+                            f"heldout_newfam@{step}")
+            history[-1]["newfam"] = hf
         if EXTRA_HO_QUERIES:
             how = eval_group(params_h, HELDOUT_OBJS,
                              f"heldout_objects_wide@{step}",
@@ -393,7 +418,9 @@ if PARAMS_OUT:
     np.savez(
         tmp,
         params_only=1,
-        probe_step=STEPS_POSE,
+        # the params are at the last step actually reached: a resume
+        # whose start_step already exceeds STEPS_POSE runs zero steps
+        probe_step=max(start_step, STEPS_POSE),
         n_leaves=len(pleaves),
         bf16_mask=bf16_mask,
         # np.save cannot round-trip ml_dtypes.bfloat16 descr: store raw u16

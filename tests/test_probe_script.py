@@ -58,6 +58,31 @@ def test_datagen_train_ids_and_widened_heldout_queries():
     )
 
 
+def test_datagen_newfam_heldout_group():
+    """Round-4: --newfam-ho adds 4 held-out objects from the C/D
+    families (ids >= 68 rule), without touching the standard groups."""
+    g = _run_datagen(
+        ["--n-train-obj", "4", "--newfam-ho", "1",
+         "--out", "/tmp/probe_test_out"]
+    )
+    assert g["HELDOUT_NEWFAM"] == [9002, 9003, 9006, 9007]
+    data = g["data"]
+    for o in g["HELDOUT_NEWFAM"]:
+        assert data[o]["queries"].shape == (6, 256, 256, 3)
+        assert data[o]["queries"].max() > 0  # renders non-degenerate
+    # ids <= 67 keep the round-3 2-family rule bit-identical
+    pts, _ = g["make_points"](2)
+    rng = np.random.default_rng(4002)
+    np.testing.assert_array_equal(pts, rng.normal(size=(60, 3)) * 0.12)
+    # id%4 families differ for high ids: platelet (C) is flat, ring (D)
+    # has a hole (bimodal radius) — crude shape checks
+    ptsC, _ = g["make_points"](9002)
+    ptsD, _ = g["make_points"](9003)
+    assert np.std(ptsC[:, 2]) < 0.06 and np.std(ptsC[:, 0]) > 0.09
+    radii = np.linalg.norm(ptsD[:, :2], axis=1)
+    assert radii.mean() > 0.10  # mass concentrated on the ring
+
+
 def test_datagen_rand_views_recipe_variant():
     g = _run_datagen(
         ["--n-train-obj", "4", "--rand-views", "3",
