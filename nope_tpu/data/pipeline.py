@@ -46,6 +46,7 @@ class DataLoader:
         self.collate_fn = collate_fn or collate
         self._epoch = 0
         self._seed = seed
+        self._start_batch = 0  # consumed by the next __iter__ (resume)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -63,6 +64,16 @@ class DataLoader:
             np.random.default_rng(self._seed + self._epoch).shuffle(idx)
         return idx
 
+    def set_state(self, epoch: int, batch_offset: int = 0) -> None:
+        """Position the loader mid-stream for deterministic resume: the
+        next ``__iter__`` replays epoch ``epoch``'s shuffle order but
+        starts ``batch_offset`` batches in — skipped batches are sliced
+        off the index list, never fetched.  Beats the reference's
+        Lightning resume (train.py:142-149), which restarts the sampler
+        stream at epoch 0."""
+        self._epoch = int(epoch)
+        self._start_batch = int(batch_offset)
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         indices = self._epoch_indices()
         # advance the dataset's own deterministic sampling stream (e.g.
@@ -75,6 +86,9 @@ class DataLoader:
             indices[i * self.batch_size : (i + 1) * self.batch_size]
             for i in range(n_batches)
         ]
+        if self._start_batch:  # one-shot mid-epoch resume (set_state)
+            batches = batches[self._start_batch :]
+            self._start_batch = 0
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -134,13 +148,36 @@ class CombinedLoader:
         if not loaders:
             raise ValueError("no loaders")
         self.loaders = loaders
+        self._start_step = 0  # consumed by the next __iter__ (resume)
 
     def __len__(self) -> int:
         return max(len(l) for l in self.loaders.values())
 
+    def set_state(self, global_step: int) -> None:
+        """Position every member loader as an uninterrupted run would be
+        after ``global_step`` combined steps.
+
+        Semantics mirrored from ``__iter__``: each combined epoch of
+        ``M = len(self)`` steps starts FRESH iterators for all loaders,
+        and a loader of length ``L`` wraps (re-iterates, bumping its
+        shuffle epoch) every ``L`` steps — so per combined epoch its
+        epoch counter advances ``ceil(M / L)`` times.  At combined step
+        ``k`` into epoch ``E`` it is therefore ``k % L`` batches into
+        its own epoch ``E * ceil(M/L) + k // L``.  The next ``__iter__``
+        yields only the epoch's remaining ``M - k`` steps."""
+        M = len(self)
+        E, k = divmod(int(global_step), M)
+        for loader in self.loaders.values():
+            L = len(loader)
+            wraps_per_epoch = -(-M // L)  # ceil
+            loader.set_state(E * wraps_per_epoch + k // L, k % L)
+        self._start_step = k
+
     def __iter__(self) -> Iterator[Dict[str, Dict[str, np.ndarray]]]:
         iters = {name: iter(l) for name, l in self.loaders.items()}
-        for _ in range(len(self)):
+        start = self._start_step
+        self._start_step = 0
+        for _ in range(len(self) - start):
             step: Dict[str, Dict[str, np.ndarray]] = {}
             for name in self.loaders:
                 try:

@@ -246,6 +246,17 @@ class Trainer:
             self.val_fn(state)
 
         step = int(state.step)
+        if step:
+            # deterministic resume of the DATA stream: position every
+            # loader (shuffle epoch + within-epoch offset + the
+            # dataset's set_epoch sampling stream) exactly where an
+            # uninterrupted run would be after `step` optimizer steps.
+            # The reference's Lightning resume (train.py:142-149)
+            # restores the epoch counter but replays the epoch-0
+            # sampler order; here the continued (index, loss) stream is
+            # bit-identical to an uninterrupted run
+            # (tests/test_elastic_resume.py::test_resume_replays_exact_data_stream).
+            self.combined.set_state(step)
         t_last = time.perf_counter()
         def shard(batches):
             return {

@@ -66,6 +66,56 @@ def test_collate():
     assert out["a"].shape == (2, 2)
 
 
+class EpochKeyedDataset(ToyDataset):
+    """Items depend on (epoch, index) — models the datasets' epoch-keyed
+    reference-sampling streams (shapenet.set_epoch)."""
+
+    def __init__(self, n):
+        super().__init__(n, dim=1)
+        self._epoch = 0
+
+    def set_epoch(self, epoch):
+        self._epoch = epoch
+
+    def __getitem__(self, i):
+        return {"x": np.asarray([1000.0 * self._epoch + i], np.float32)}
+
+
+def _stream(combined, n_steps):
+    out = []
+    it = iter(combined)
+    while len(out) < n_steps:
+        try:
+            out.append(next(it))
+        except StopIteration:
+            it = iter(combined)
+    return [
+        {name: b["x"][:, 0].tolist() for name, b in step.items()} for step in out
+    ]
+
+
+@pytest.mark.parametrize("resume_at", [1, 3, 4, 5, 7, 8, 11])
+def test_combined_loader_set_state_replays_exact_stream(resume_at):
+    """set_state(k) must continue the (epoch-keyed) item stream exactly
+    as an uninterrupted run would — including mid-epoch offsets, wrap
+    boundaries of the shorter cycled loader, and whole-epoch boundaries."""
+
+    def build():
+        return CombinedLoader({
+            "big": DataLoader(EpochKeyedDataset(8), batch_size=2,
+                              num_workers=1, seed=5),
+            "small": DataLoader(EpochKeyedDataset(3), batch_size=2,
+                                num_workers=1, seed=9),
+        })
+
+    total = 13
+    full = _stream(build(), total)
+    resumed = build()
+    resumed.set_state(resume_at)
+    cont = _stream(resumed, total - resume_at)
+    assert cont == full[resume_at:]
+
+
 # ---------------------------------------------------------------------------
 # VSD metric oracles
 # ---------------------------------------------------------------------------
