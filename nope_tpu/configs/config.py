@@ -122,6 +122,11 @@ class MachineConfig:
     name: str = "local"
     batch_size: int = 16
     num_workers: int = 10
+    # input stack: "threads" = the built-in thread-prefetched loader;
+    # "grain" = process workers + ShardByJaxProcess (the production
+    # multi-host path — the reference's num_workers:10 torch workers,
+    # configs/machine/local.yaml:5, done the JAX-idiomatic way)
+    loader: str = "threads"
     root_dir: str = "."
     dryrun: bool = True
     # mesh axes; data=None -> all devices

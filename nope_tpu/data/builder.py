@@ -99,21 +99,40 @@ def build_train_loaders(cfg: ExperimentConfig) -> Dict[str, DataLoader]:
             dataset = build_bop_texture_group(cfg, ds_cfg)
         else:
             dataset = build_dataset(ds_cfg)
-        collate_fn = None
+        use_grain = getattr(cfg.machine, "loader", "threads") == "grain"
+        collate_fn = post_batch_fn = None
         if ds_cfg.native_preprocess and name == "shapeNet":
-            from nope_tpu.data.pipeline import make_native_collate
             from nope_tpu.data.shapenet import NativeCollateView
 
             dataset = NativeCollateView(dataset)
-            collate_fn = make_native_collate(ds_cfg.img_size)
+            if use_grain:
+                from nope_tpu.data.grain_pipeline import make_native_post_batch
+
+                post_batch_fn = make_native_post_batch(ds_cfg.img_size)
+            else:
+                from nope_tpu.data.pipeline import make_native_collate
+
+                collate_fn = make_native_collate(ds_cfg.img_size)
             logging.info("native fused preprocessing enabled for %s", name)
-        loaders[name] = DataLoader(
-            dataset,
-            batch_size=cfg.machine.batch_size,
-            shuffle=True,
-            num_workers=cfg.machine.num_workers,
-            collate_fn=collate_fn,
-        )
+        if use_grain:
+            from nope_tpu.data.grain_pipeline import GrainLoader
+
+            loaders[name] = GrainLoader(
+                dataset,
+                batch_size=cfg.machine.batch_size,
+                shuffle=True,
+                num_workers=cfg.machine.num_workers,
+                shard_by_process=True,
+                post_batch_fn=post_batch_fn,
+            )
+        else:
+            loaders[name] = DataLoader(
+                dataset,
+                batch_size=cfg.machine.batch_size,
+                shuffle=True,
+                num_workers=cfg.machine.num_workers,
+                collate_fn=collate_fn,
+            )
         logging.info("train loader %s: %d batches", name, len(loaders[name]))
     return loaders
 

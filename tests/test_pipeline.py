@@ -205,6 +205,80 @@ def test_grain_loader_adapter():
     assert seen == [float(i) for i in range(10)]
 
 
+def test_grain_epoch_loader_trainer_contract():
+    """GrainLoader (machine.loader=grain) honors the DataLoader duck
+    type the Trainer needs: sized epochs, fresh shuffle order + dataset
+    set_epoch stream per epoch, process workers, and set_state resume."""
+    from nope_tpu.data.grain_pipeline import GrainLoader
+
+    def build(num_workers=0):
+        return GrainLoader(EpochKeyedDataset(10), batch_size=2,
+                           num_workers=num_workers, seed=4,
+                           shard_by_process=False)
+
+    loader = build()
+    assert len(loader) == 5
+    e0 = [b["x"][:, 0].tolist() for b in loader]
+    e1 = [b["x"][:, 0].tolist() for b in loader]
+    assert len(e0) == len(e1) == 5
+    # epoch 0 items carry the 0-epoch key; epoch 1 the 1000s key
+    assert all(0 <= v < 10 for b in e0 for v in b)
+    assert all(1000 <= v < 1010 for b in e1 for v in b)
+    assert sorted(v for b in e1 for v in b) == [1000.0 + i for i in range(10)]
+    assert e0 != [[v - 1000.0 for v in b] for b in e1]  # reshuffled
+
+    # determinism: a fresh loader replays the same two epochs...
+    loader2 = build()
+    assert [b["x"][:, 0].tolist() for b in loader2] == e0
+    # ...and worker PROCESSES yield the identical stream
+    loader_mp = build(num_workers=2)
+    assert [b["x"][:, 0].tolist() for b in loader_mp] == e0
+
+    # set_state(epoch=1, offset=3): exact mid-epoch continuation
+    loader3 = build()
+    loader3.set_state(1, 3)
+    assert [b["x"][:, 0].tolist() for b in loader3] == e1[3:]
+
+
+def test_grain_loader_in_combined_loader_set_state():
+    """The Trainer's deterministic resume works through the grain path
+    (CombinedLoader.set_state -> GrainLoader.set_state)."""
+    from nope_tpu.data.grain_pipeline import GrainLoader
+
+    def build():
+        return CombinedLoader({
+            "g": GrainLoader(EpochKeyedDataset(8), batch_size=2, seed=2,
+                             shard_by_process=False),
+            "s": GrainLoader(EpochKeyedDataset(3), batch_size=2, seed=6,
+                             shard_by_process=False),
+        })
+
+    full = _stream(build(), 9)
+    resumed = build()
+    resumed.set_state(6)
+    assert _stream(resumed, 3) == full[6:]
+
+
+def test_builder_grain_switch(tmp_path, monkeypatch):
+    """machine.loader=grain swaps the training input stack end-to-end
+    through the config/builder layer."""
+    from nope_tpu.configs import load_config
+    from nope_tpu.data import builder
+    from nope_tpu.data.grain_pipeline import GrainLoader
+
+    monkeypatch.setattr(builder, "build_dataset", lambda cfg: ToyDataset(8))
+    cfg = load_config(None, [
+        "machine.loader=grain", "machine.batch_size=2",
+        "machine.num_workers=0", "train_data_name=shapeNet",
+        "data.datasets.shapeNet.name=shapeNet",
+    ])
+    loaders = builder.build_train_loaders(cfg)
+    assert isinstance(loaders["shapeNet"], GrainLoader)
+    assert len(loaders["shapeNet"]) == 4
+    batches = list(loaders["shapeNet"])
+    assert len(batches) == 4 and batches[0]["x"].shape == (2, 3)
+
+
 def test_grain_loader_yields_collated_batches():
     """The grain adapter (production multi-host input stack) must yield
     collated numpy batches covering the dataset exactly once."""
