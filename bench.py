@@ -48,8 +48,20 @@ FROZEN_BASELINE = {
     "runs": [5.3785, 5.2329, 5.0912, 5.1925, 5.6645],
 }
 
+# ``--full``: the FULL 341-template protocol (level-2 upper grid — the
+# shape the paper evaluates, shapeNet.py:252-263 + model.py:268-376).
+# Baseline = the same sequential reference execution shape at N=341
+# (341 per-template dispatches per image, re-encoding the reference
+# every iteration).  Same freeze protocol as FROZEN_BASELINE: median of
+# 5 dedicated v5e runs, each the median of 3 fenced iterations.
+FROZEN_BASELINE_FULL = {
+    "images_per_sec": None,  # frozen on first --full --remeasure-baseline
+    "measured": None,
+    "runs": [],
+}
 
-def build(tiny: bool):
+
+def build(tiny: bool, full: bool = False):
     import jax
     import jax.numpy as jnp
     from nope_tpu.models.unet import PoseUNet
@@ -61,20 +73,27 @@ def build(tiny: bool):
         img, unet_dim, mults, groups = 32, 8, (1, 2), 4
         vae_kw = dict(block_out_channels=(8, 8, 8, 8), layers_per_block=1,
                       latent_channels=4, groups=4)
-        n_templates = 8
+        n_templates = 12 if full else 8
         batch = 2
         fp32_batch = 2
         baseline_batch = 2
     else:
         img, unet_dim, mults, groups = 256, 192, (1, 2, 4, 8), 8
         vae_kw = dict()  # full SD VAE
-        n_templates = 26  # fast-eval grid (idx_upper_level0_in_level2)
-        batch = 128  # measured best bf16 throughput point on v5e
+        if full:
+            # full protocol: 341 upper level-2 templates, streaming
+            # (the materialized (64, 341) bank cannot compile on 16G)
+            n_templates = 341
+            batch = 64
+            baseline_batch = 1  # 341 dispatches/image: keep the loop short
+        else:
+            n_templates = 26  # fast-eval grid (idx_upper_level0_in_level2)
+            batch = 128  # measured best bf16 throughput point on v5e
+            baseline_batch = 2  # per-image sequential: batch-invariant
         # the fp32 anchor runs at batch 64: the fp32 batch-128 program
         # alone needs 16.4G and does not COMPILE on a 16G v5e (bf16
         # fits); both modes report img/s so the numbers stay comparable
         fp32_batch = 64
-        baseline_batch = 2  # baseline is per-image sequential: batch-invariant
 
     unet = PoseUNet(u_net_dim=unet_dim, channels=4, dim_mults=mults,
                     resnet_block_groups=groups)
@@ -86,8 +105,13 @@ def build(tiny: bool):
     reference = jnp.asarray(rng.uniform(-1, 1, (batch, img, img, 3)).astype(np.float32))
     query = jnp.asarray(rng.uniform(-1, 1, (batch, img, img, 3)).astype(np.float32))
 
-    # real grid ΔRs for the fast-eval template set
-    grid = so3_grid.load_obj_poses(0)[:, :3, :3].astype(np.float32)
+    # real grid ΔRs: full = the 341-pose upper level-2 grid; fast = level 0
+    if full and not tiny:
+        grid = so3_grid.get_obj_poses_from_template_level(2, "upper")[:, :3, :3]
+        grid = grid.astype(np.float32)
+    else:
+        grid = so3_grid.load_obj_poses(0)[:, :3, :3].astype(np.float32)
+        grid = np.concatenate([grid] * (-(-n_templates // len(grid))))  # tile for tiny-full
     sel = grid[:n_templates]
     rel = transforms.relative_rotation_jax(
         jnp.asarray(sel)[None].repeat(batch, 0),
@@ -123,12 +147,26 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--full", action="store_true",
+                    help="FULL 341-template protocol (streaming bf16) "
+                         "against the sequential-341 reference shape")
     ap.add_argument("--fp32-only", action="store_true",
                     help="skip the bf16 headline (fp32 parity anchor only)")
     ap.add_argument("--remeasure-baseline", action="store_true",
                     help="time the reference execution shape live instead "
                          "of using the frozen committed median")
     args = ap.parse_args()
+    if args.full and args.fp32_only:
+        ap.error("--full is bf16 streaming only (the materialized fp32 "
+                 "341-bank cannot compile on a 16G v5e)")
+
+    if args.tiny:
+        # CPU smoke mode must not grab the tunnelled TPU (the
+        # JAX_PLATFORMS env var is ignored on this host — the axon
+        # sitecustomize pins the tunnel; the config update is reliable)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from nope_tpu.utils.env import enable_compilation_cache
 
@@ -139,7 +177,8 @@ def main():
     from nope_tpu.ops.similarity import retrieve
     from nope_tpu.tasks.pose_conditional import cast_half
 
-    task, params, reference, query, bank_R, fp32_batch, baseline_batch = build(args.tiny)
+    task, params, reference, query, bank_R, fp32_batch, baseline_batch = build(
+        args.tiny, args.full)
     batch, n_templates = bank_R.shape[0], bank_R.shape[1]
 
     # ---- optimized: one jitted program ---------------------------------
@@ -159,16 +198,33 @@ def main():
 
         return optimized
 
-    t_fp32 = time_fn(
-        make_optimized(False), params, reference[:fp32_batch],
-        query[:fp32_batch], bank_R[:fp32_batch], iters=args.iters,
-    )
-    if args.fp32_only:
-        t_opt, opt_batch = t_fp32, fp32_batch
+    if args.full:
+        # streaming: the bank never materialises (docs/PERFORMANCE.md
+        # "Full-grid eval streams"); chunk 31 divides 341 evenly
+        chunk = 4 if args.tiny else 31
+
+        @jax.jit
+        def optimized_full(params, reference, query, bank_R):
+            reference, query, bank_R = (
+                x.astype(jnp.bfloat16) for x in (reference, query, bank_R)
+            )
+            return task.retrieve_streaming(
+                params, query, reference, bank_R, chunk_size=chunk)
+
+        t_opt = time_fn(optimized_full, cast_half(params), reference, query,
+                        bank_R, iters=args.iters)
+        opt_batch, t_fp32 = batch, None
     else:
-        t_opt = time_fn(make_optimized(True), cast_half(params), reference,
-                        query, bank_R, iters=args.iters)
-        opt_batch = batch
+        t_fp32 = time_fn(
+            make_optimized(False), params, reference[:fp32_batch],
+            query[:fp32_batch], bank_R[:fp32_batch], iters=args.iters,
+        )
+        if args.fp32_only:
+            t_opt, opt_batch = t_fp32, fp32_batch
+        else:
+            t_opt = time_fn(make_optimized(True), cast_half(params), reference,
+                            query, bank_R, iters=args.iters)
+            opt_batch = batch
 
     # ---- baseline: reference execution shape ----------------------------
     # one template at a time, re-encoding the reference every iteration
@@ -197,19 +253,22 @@ def main():
         return outs
 
     imgs_per_sec = opt_batch / t_opt
-    if args.tiny or args.remeasure_baseline:
+    frozen = FROZEN_BASELINE_FULL if args.full else FROZEN_BASELINE
+    if args.tiny or args.remeasure_baseline or frozen["images_per_sec"] is None:
         # live baseline: median over >=3 iterations (single-iteration
         # baselines showed 13-28x run-to-run variance from tunnel
         # dispatch noise); always live in --tiny CPU smoke mode where
-        # the frozen TPU constant is meaningless
+        # the frozen TPU constant is meaningless, and in --full mode
+        # until its denominator is frozen
         t_base = time_fn(baseline, params, reference, query, bank_R,
                          iters=max(3, args.iters // 2))
         base_imgs_per_sec = baseline_batch / t_base
         baseline_provenance = "live"
     else:
-        base_imgs_per_sec = FROZEN_BASELINE["images_per_sec"]
-        baseline_provenance = f"frozen {FROZEN_BASELINE['measured']}"
-    mode = "fp32" if args.fp32_only else "bf16"
+        base_imgs_per_sec = frozen["images_per_sec"]
+        baseline_provenance = f"frozen {frozen['measured']}"
+    mode = "bf16 streaming" if args.full else (
+        "fp32" if args.fp32_only else "bf16")
     print(
         json.dumps(
             {
@@ -218,7 +277,8 @@ def main():
                 "value": round(imgs_per_sec, 4),
                 "unit": "images/sec",
                 "vs_baseline": round(imgs_per_sec / base_imgs_per_sec, 3),
-                "fp32_images_per_sec": round(fp32_batch / t_fp32, 4),
+                "fp32_images_per_sec": (
+                    None if t_fp32 is None else round(fp32_batch / t_fp32, 4)),
                 "baseline_images_per_sec": round(base_imgs_per_sec, 4),
                 "baseline_provenance": baseline_provenance,
                 "backend": jax.default_backend(),

@@ -536,7 +536,8 @@ class PoseEstimator:
         if missing:
             raise KeyError(f"objects not registered: {missing!r}")
         uniq = list(dict.fromkeys(object_ids))  # order-preserving
-        inv = jnp.asarray([uniq.index(oid) for oid in object_ids], jnp.int32)
+        pos = {oid: i for i, oid in enumerate(uniq)}  # O(B+M), not O(B*M)
+        inv = jnp.asarray([pos[oid] for oid in object_ids], jnp.int32)
         # a steady serving loop re-batches against the same gallery: keep
         # the last stacked bank so repeat calls skip the O(M·bank) device
         # concat (cache invalidated on any register/deregister/load)
