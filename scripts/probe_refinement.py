@@ -155,7 +155,12 @@ print(f"rendered {len(eval_objs)} objects ({time.time()-t0:.0f}s)", flush=True)
 
 grid341 = so3_grid.get_obj_poses_from_template_level(2, "upper")[:, :3, :3]
 grid341 = grid341.astype(np.float32)
-idx26 = so3_grid.load_index_level0_in_level2("upper")
+# load_index_level0_in_level2 returns template IDS into the full 642
+# level-2 grid; map them to POSITIONS within the upper-filtered 341
+# subset (poses/utils.py:115-127 semantics) before indexing grid341.
+_idx26_ids = so3_grid.load_index_level0_in_level2("upper")
+_id2pos = so3_grid.load_mapping_id_templates_to_idx_pose_distribution(2, "upper")
+idx26 = np.array([_id2pos[int(i)] for i in _idx26_ids])
 grid26 = grid341[idx26]
 
 
