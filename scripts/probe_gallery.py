@@ -1,0 +1,280 @@
+"""Hardware probe: gallery-scale serving (round-4 directive #6).
+
+Round 3 measured the int8-bank serving engine at a 4-object gallery and
+*extrapolated* the ~10k-object v5e capacity from the 1.34 MB/object
+bank size.  This probe exercises the engine at a real gallery scale on
+the v5e with a TRAINED checkpoint:
+
+- register ``--gallery`` (default 512) procedural objects with int8
+  banks at the FULL N=341 grid, in fixed-size batches (one compiled
+  registration program shape): registration throughput in objects/s
+  and U-Net forwards/s;
+- measured HBM per object (device memory_stats delta where the backend
+  reports it, plus the exact host-computed bank bytes);
+- ``estimate_many`` latency across the WHOLE gallery: cold (first-call
+  stacked-bank concat) vs steady-state, B=64 mixed-object batches;
+- the int8 accuracy guardrail the round-3 verdict asked for: Acc@15/30
+  (not just top-1 agreement) vs bf16 banks, on rendered queries with
+  ground-truth relative rotations, using the trained 128-object
+  checkpoint — split over seen-family train objects and held-out
+  objects.
+
+Run:  python scripts/probe_gallery.py --ckpt /tmp/probe128_params.npz \
+          [--gallery 512] [--reg-batch 16] [--acc-objs 8]
+
+Results stream as JSON lines; the summary table lives in
+docs/PERFORMANCE.md ("Round-4 gallery-scale serving").
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from nope_tpu.utils.env import enable_compilation_cache
+
+enable_compilation_cache()
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tests.fixtures import render_procedural
+from nope_tpu.scripts.generate_data import sample_camera_poses
+from nope_tpu.geometry.cropping import crop_frame
+from nope_tpu.data.shapenet import SHAPENET_INTRINSIC
+from nope_tpu.models.unet import PoseUNet
+from nope_tpu.models.vae import StableDiffusionVAE
+from nope_tpu.serving.engine import PoseEstimator
+from nope_tpu.tasks.pose_conditional import PoseConditionalTask, TaskConfig, cast_half
+
+
+def _arg(name, default, cast=int):
+    return cast(sys.argv[sys.argv.index(name) + 1]) if name in sys.argv else default
+
+
+IMG = 256
+CKPT = _arg("--ckpt", "/tmp/probe128_params.npz", str)
+GALLERY = _arg("--gallery", 512)
+REG_BATCH = _arg("--reg-batch", 16)
+ACC_OBJS = _arg("--acc-objs", 8)
+N_QUERY = 6
+
+# ---------------------------------------------------------------------------
+# flagship model + trained params (loader mirrors probe_refinement.py)
+# ---------------------------------------------------------------------------
+vae = StableDiffusionVAE()
+task = PoseConditionalTask(
+    PoseUNet(u_net_dim=192, channels=4, dim_mults=(1, 2, 4, 8), resnet_block_groups=8),
+    vae,
+    TaskConfig(),
+)
+_init = task.init(jax.random.key(2), image_size=IMG)
+with np.load(CKPT, allow_pickle=False) as z:
+    ckpt_step = int(z["probe_step"])
+    n_leaves = int(z["n_leaves"])
+    assert "params_only" in z.files, "gallery probe expects a --params-out ckpt"
+    import ml_dtypes
+
+    mask = z["bf16_mask"]
+    leaves = [
+        z[f"leaf_{i}"].view(ml_dtypes.bfloat16) if mask[i] else z[f"leaf_{i}"]
+        for i in range(n_leaves)
+    ]
+    params = jax.tree.unflatten(
+        jax.tree.structure(cast_half({"unet": _init["unet"], "vae": _init["vae"]})),
+        [jnp.asarray(l) for l in leaves],
+    )
+print(f"loaded ckpt at step {ckpt_step}", flush=True)
+
+
+def make_points(obj_id):
+    # the probe_unseen_objects.py 4-family zoo (ids >= 68 rule)
+    rng = np.random.default_rng(4000 + obj_id)
+    fam = obj_id % 2 if obj_id <= 67 else obj_id % 4
+    if fam == 0:
+        pts = rng.normal(size=(60, 3)) * 0.12
+    elif fam == 1:
+        pts = rng.normal(size=(110, 3)) * np.array([0.055, 0.06, 0.17])
+    elif fam == 2:
+        pts = rng.normal(size=(90, 3)) * np.array([0.145, 0.125, 0.035])
+    else:
+        th = rng.uniform(0.0, 2.0 * np.pi, 120)
+        ring = np.stack([np.cos(th), np.sin(th), np.zeros_like(th)], -1) * 0.13
+        pts = ring + rng.normal(size=(120, 3)) * 0.03
+    cols = rng.integers(60, 255, (len(pts), 3))
+    return pts, cols
+
+
+def render_crop(obj_id, pose):
+    pts, cols = make_points(obj_id)
+    rgba = render_procedural(pose, pts, cols, img_px=512)
+    rgb = rgba[..., :3].astype(np.float32) * (rgba[..., 3:4].astype(np.float32) / 255.0)
+    u8 = crop_frame(rgb.astype(np.uint8), mask=None, intrinsic=SHAPENET_INTRINSIC,
+                    openCV_pose=pose, image_size=IMG, virtual_bbox_size=1.0)
+    return (u8.astype(np.float32) / 255.0) * 2.0 - 1.0
+
+
+def fence(x):
+    return jax.tree.map(np.asarray, x)
+
+
+def mem_stats():
+    try:
+        s = jax.local_devices()[0].memory_stats()
+        return int(s.get("bytes_in_use", 0)) or None
+    except Exception:
+        return None
+
+
+def record_bytes(rec):
+    return sum(l.nbytes for l in jax.tree.leaves(rec))
+
+
+# ---------------------------------------------------------------------------
+# 1) gallery registration at scale (int8 banks, N=341)
+# ---------------------------------------------------------------------------
+est = PoseEstimator(task, params, level=2, pose_distribution="upper",
+                    bank_dtype="int8", chunk_size=31)
+N = est.num_templates
+
+# reference views: one render per object (deterministic pose per id)
+t0 = time.time()
+gal_ids = [f"obj{i}" for i in range(GALLERY)]
+refs = np.stack([
+    render_crop(10000 + i, sample_camera_poses(np.random.default_rng(7000 + i), 1, 1.0)[0])
+    for i in range(GALLERY)
+])
+print(json.dumps({"phase": "render", "n": GALLERY,
+                  "sec": round(time.time() - t0, 1)}), flush=True)
+
+mem0 = mem_stats()
+# warm-compile the fixed-shape registration program on the first batch,
+# then time the remaining batches (steady-state registration rate)
+t0 = time.time()
+est.register_objects(gal_ids[:REG_BATCH], refs[:REG_BATCH])
+fence(jax.tree.leaves(est._banks[gal_ids[0]])[0])
+t_compile = time.time() - t0
+t0 = time.time()
+for s in range(REG_BATCH, GALLERY, REG_BATCH):
+    est.register_objects(gal_ids[s:s + REG_BATCH], refs[s:s + REG_BATCH])
+fence(jax.tree.leaves(est._banks[gal_ids[-1]])[0])
+t_steady = time.time() - t0
+mem1 = mem_stats()
+
+bank_b = record_bytes(est._banks[gal_ids[0]])
+aux_b = record_bytes(est._ref_latents[gal_ids[0]]) + est._bank_reps[gal_ids[0]].nbytes
+n_steady = GALLERY - REG_BATCH
+reg = {
+    "phase": "register", "gallery": GALLERY, "n_templates": N,
+    "reg_batch": REG_BATCH,
+    "compile_plus_first_batch_s": round(t_compile, 2),
+    "steady_s": round(t_steady, 2),
+    "objects_per_sec": round(n_steady / t_steady, 2),
+    "unet_forwards_per_sec": round(n_steady * N / t_steady, 1),
+    "bank_bytes_per_object": bank_b,
+    "refine_state_bytes_per_object": aux_b,
+    "hbm_delta_bytes_per_object": (
+        None if mem0 is None or mem1 is None
+        else round((mem1 - mem0) / GALLERY)),
+    "implied_objects_per_16G": int(14e9 / (bank_b + aux_b)),
+}
+print(json.dumps(reg), flush=True)
+
+# ---------------------------------------------------------------------------
+# 2) estimate_many across the whole gallery, B=64
+# ---------------------------------------------------------------------------
+rng = np.random.default_rng(11)
+idx = {o: i for i, o in enumerate(gal_ids)}
+
+# (2a) steady serving batch: B=64 over a FIXED 64-object subset.  The
+# stacked-bank cache keys on the unique-oid tuple, so a steady loop over
+# a stable working set hits it; only the query images change per call.
+B = 64
+sub = [gal_ids[i] for i in sorted(rng.choice(GALLERY, B, replace=False))]
+t0 = time.time()
+fence(est.estimate_many(sub, refs[[idx[o] for o in sub]]).similarity)
+t_cold = time.time() - t0  # concat + compile + run
+times = []
+for it in range(3):
+    imgs = refs[rng.integers(0, GALLERY, B)]  # content irrelevant to cost
+    t0 = time.time()
+    fence(est.estimate_many(sub, imgs).similarity)
+    times.append(time.time() - t0)
+t_warm = float(np.median(times))
+print(json.dumps({
+    "phase": "estimate_many_steady", "gallery": GALLERY, "batch": B,
+    "unique_objects": B, "cold_s": round(t_cold, 2),
+    "warm_s": round(t_warm, 3),
+    "warm_queries_per_sec": round(B / t_warm, 1),
+}), flush=True)
+
+# (2b) whole-gallery sweep: one query per registered object in ONE
+# call — the per-query bank gather rides the full M-object int8 stack
+t0 = time.time()
+fence(est.estimate_many(gal_ids, refs).similarity)
+t_cold = time.time() - t0
+times = []
+for it in range(2):
+    t0 = time.time()
+    fence(est.estimate_many(gal_ids, refs).similarity)
+    times.append(time.time() - t0)
+t_warm = float(np.median(times))
+stack_b = record_bytes(est._stacked_cache[1])
+print(json.dumps({
+    "phase": "estimate_many_full_gallery", "gallery": GALLERY,
+    "batch": GALLERY, "stacked_bank_bytes": stack_b,
+    "cold_s": round(t_cold, 2), "warm_s": round(t_warm, 3),
+    "warm_queries_per_sec": round(GALLERY / t_warm, 1),
+}), flush=True)
+
+# ---------------------------------------------------------------------------
+# 3) int8 vs bf16 Acc@15/30 guardrail on the TRAINED checkpoint
+# ---------------------------------------------------------------------------
+# 4 train-family objects (seen ids 0-3) + 4 held-out objects (24-27):
+# render GT query/reference pairs exactly like the transfer probe
+acc_ids = list(range(ACC_OBJS // 2)) + list(range(24, 24 + ACC_OBJS - ACC_OBJS // 2))
+full = PoseEstimator(task, params, level=2, pose_distribution="upper",
+                     chunk_size=31)  # bf16 banks ("auto")
+q_all, gt_rel, oid_seq = [], [], []
+for o in acc_ids:
+    prng = np.random.default_rng(5000 + o)
+    poses_q = sample_camera_poses(prng, N_QUERY, 1.0)
+    pose_r = sample_camera_poses(prng, 1, 1.0)[0]
+    ref_img = render_crop(o, pose_r)
+    for e in (est, full):
+        e.register_object(f"acc{o}", ref_img, reference_pose=pose_r[:3, :3])
+    for p in poses_q:
+        q_all.append(render_crop(o, p))
+        gt_rel.append(p[:3, :3] @ pose_r[:3, :3].T)
+        oid_seq.append(f"acc{o}")
+q_all = np.stack(q_all)
+gt_rel = np.stack(gt_rel)
+
+
+def geo_deg(a, b):
+    tr = np.einsum("bij,bkj->bik", np.asarray(a, np.float64), np.asarray(b, np.float64))
+    cos = (np.trace(tr, axis1=1, axis2=2) - 1.0) / 2.0
+    return np.degrees(np.arccos(np.clip(cos, -1.0, 1.0)))
+
+
+out = {}
+for name, e in (("int8", est), ("bf16", full)):
+    r = e.estimate_many(oid_seq, q_all)
+    err = geo_deg(r.relative_rotations[:, 0], gt_rel)
+    out[name] = {
+        "median_deg": round(float(np.median(err)), 2),
+        "acc15": round(float(np.mean(err <= 15)), 3),
+        "acc30": round(float(np.mean(err <= 30)), 3),
+        "top1": np.asarray(r.nearest_idx[:, 0]),
+    }
+agree = float(np.mean(out["int8"]["top1"] == out["bf16"]["top1"]))
+for v in out.values():
+    v.pop("top1")
+print(json.dumps({
+    "phase": "int8_guardrail", "n_queries": len(oid_seq),
+    "ckpt_step": ckpt_step, "top1_agreement": round(agree, 3),
+    "int8": out["int8"], "bf16": out["bf16"],
+}), flush=True)
+print("DONE", flush=True)
