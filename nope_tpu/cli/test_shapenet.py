@@ -41,7 +41,7 @@ def main(argv=None):
                         help="continuous pose-refinement steps from the "
                              "retrieved top-1 (0 = grid-snapped, the "
                              "reference protocol); adds 'refined, *' scores")
-    parser.add_argument("--refine-lr", type=float, default=3e-2)
+    parser.add_argument("--refine-lr", type=float, default=2e-2)
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 

@@ -71,7 +71,7 @@ def evaluate_geodesic(
     mesh=None,
     sync_processes: bool = True,
     refine_steps: int = 0,
-    refine_lr: float = 3e-2,
+    refine_lr: float = 2e-2,
 ) -> Dict[str, float]:
     """Run the geodesic eval over a loader; returns aggregated scores
     (mean over batches of accuracy, median over all errors, mean loss).

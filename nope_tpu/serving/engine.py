@@ -464,7 +464,7 @@ class PoseEstimator:
         object_id: str,
         query_images: np.ndarray,
         refine_steps: int = 0,
-        refine_lr: float = 3e-2,
+        refine_lr: float = 2e-2,
         refine_objective: str = "l2",
     ) -> PoseEstimate:
         """Score (B, H, W, 3) query images against the object's bank.
@@ -512,7 +512,7 @@ class PoseEstimator:
         object_ids: Sequence[str],
         query_images: np.ndarray,
         refine_steps: int = 0,
-        refine_lr: float = 3e-2,
+        refine_lr: float = 2e-2,
         refine_objective: str = "l2",
     ) -> PoseEstimate:
         """Mixed-object batched estimation: query i is scored against the

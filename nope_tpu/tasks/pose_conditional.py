@@ -313,7 +313,7 @@ class PoseConditionalTask:
         batch: Dict[str, jax.Array],
         chunk_size: Optional[int] = None,
         refine_steps: int = 0,
-        refine_lr: float = 3e-2,
+        refine_lr: float = 2e-2,
     ) -> Dict[str, Any]:
         """Device portion of the geodesic eval (``model.py:268-376``):
         loss, template bank, retrieval, symmetry-aware accuracy.

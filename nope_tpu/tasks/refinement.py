@@ -24,6 +24,17 @@ Validated end-to-end in ``tests/test_refinement.py`` (a trained tiny
 model: refinement cuts the retrieved top-1 geodesic error and beats the
 template-grid floor) and on v5e hardware (docs/PERFORMANCE.md "Round-3
 continuous refinement").
+
+The default ``steps=24, lr=2e-2`` come from the round-4 hardware sweep
+on the flagship 128-object checkpoint (``scripts/tune_refinement.py``,
+docs/PERFORMANCE.md "Round-4 refinement at flagship scale"): from a
+coarse 26-template init the error-vs-step trajectory bottoms out around
+step 21-24 at lr 2e-2 and regresses past ~30 steps; smaller lrs are
+strictly slower to the same or worse floor.  The same sweep showed
+refinement from the FULL 341-grid top-1 does not help when the model's
+own retrieval error dominates the grid floor — refinement is the
+cheap-init accelerator (26-sweep + refine), not a post-processor for
+the dense sweep.
 """
 
 from __future__ import annotations
@@ -61,8 +72,8 @@ def _per_sample_objective(name: str) -> Callable[[jax.Array, jax.Array], jax.Arr
 
 def make_pose_refiner(
     task,
-    steps: int = 40,
-    lr: float = 3e-2,
+    steps: int = 24,
+    lr: float = 2e-2,
     objective: str = "l2",
 ):
     """Build ``refine(params, query_latent, reference_latent, init_R)``.
@@ -135,8 +146,8 @@ def refine_pose(
     query: jax.Array,
     reference: jax.Array,
     init_R: jax.Array,
-    steps: int = 40,
-    lr: float = 3e-2,
+    steps: int = 24,
+    lr: float = 2e-2,
     objective: str = "l2",
 ) -> Tuple[jax.Array, jax.Array]:
     """One-call convenience: encode both images, then refine.
