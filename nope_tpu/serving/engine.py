@@ -109,14 +109,22 @@ class PoseEstimator:
         else:
             grid = so3_grid.get_obj_poses_from_template_level(level, pose_distribution)
         self.template_poses = grid[:, :3, :3].astype(np.float32)
-        #: oid → stored bank record: (1, N, h, w, C) array for "auto",
-        #: ((1, N, h, w, C) int8, (1, N, 1, 1, C) f32 scale) for "int8"
+        #: oid → stored bank record, FLAT on the trailing axis so device
+        #: bytes == logical bytes (see ``_store``): (1, N, h·w·C) array
+        #: for "auto", ((1, N, h·w·C) int8, (1, N·C) f32 scale) for
+        #: "int8"
         self._banks: Dict[str, Any] = {}
         self._ref_poses: Dict[str, np.ndarray] = {}
-        #: oid → (1, h, w, C) reference latent (kept for gradient pose
-        #: refinement; ~16 KB/object) and (N, dim) f32 conditioning reps
+        #: oid → (1, h·w·C) flat reference latent (kept for gradient
+        #: pose refinement; ~16 KB/object) and HOST-side (N·dim,) f32
+        #: conditioning reps (shipped on demand; host storage avoids M
+        #: per-object device dispatches at gallery registration)
         self._ref_latents: Dict[str, Any] = {}
         self._bank_reps: Dict[str, Any] = {}
+        #: dense latent geometry (h, w, C) the flat records reshape back
+        #: to inside compiled programs; pinned by the first registration
+        #: or registry load, checked by later ones
+        self._latent_hwc: Optional[tuple] = None
         #: (unique-id tuple, stacked record) from the last estimate_many
         self._stacked_cache: tuple = (None, None)
         #: (unique-id tuple, (stacked ref latents, stacked bank reps))
@@ -140,33 +148,53 @@ class PoseEstimator:
 
         def _store(bank):
             """Raw (M, N, h, w, C) bank → the storage record (still
-            inside the registration jit: quantize/transpose fuse into
-            the bank-producing program, zero extra dispatches)."""
+            inside the registration jit: quantize/flatten fuse into
+            the bank-producing program, zero extra dispatches).
+
+            Storage is FLATTENED to (M, N, h·w·C) (scales to (M, N·C)):
+            TPU arrays are physically tiled with the minormost axis on
+            the 128 lanes, so a stored bank whose trailing axis is the
+            latent C=4 pads 32× on the device (and the per-object
+            (1, ...) slices were observed padding 128× — the round-4
+            512-object gallery probe OOMed a 16 GB chip on banks whose
+            logical size was 0.7 GB).  With h·w·C = 4096 minormost the
+            physical bytes equal the logical bytes; programs reshape
+            back to (…, h, w, C) internally, where layout assignment is
+            XLA's problem, not the storage format's."""
+            m, n = bank.shape[0], bank.shape[1]
             if self.bank_dtype == "int8":
                 b32 = bank.astype(jnp.float32)
                 absmax = jnp.max(jnp.abs(b32), axis=(2, 3), keepdims=True)
                 scale = jnp.maximum(absmax, 1e-12) / 127.0  # (M, N, 1, 1, C)
                 q8 = jnp.clip(jnp.round(b32 / scale), -127, 127).astype(jnp.int8)
-                return q8, scale
-            return bank
+                return q8.reshape(m, n, -1), scale.reshape(m, -1)
+            return bank.reshape(m, n, -1)
 
         def _dequant(record):
+            """Flattened stored record → dense (…, N, h, w, C) bank in
+            the serving dtype (inside a compiled program)."""
+            h, w, c = self._latent_hwc
             if self.bank_dtype == "int8":
                 q8, scale = record
+                lead = q8.shape[:-1]
+                q8 = q8.reshape(*lead, h, w, c)
+                scale = scale.reshape(scale.shape[0], -1, 1, 1, c)
                 return (q8.astype(jnp.float32) * scale).astype(self._image_dtype)
-            return record
+            return record.reshape(*record.shape[:-1], h, w, c)
 
         # jitted programs (compiled once per shape); the bank broadcast
         # lives inside the jit so XLA never materialises per-query copies
         def _register(p, ref, bank_R):
             # the reference latent is a byproduct of bank generation —
-            # keep it (it is what gradient refinement conditions on)
+            # keep it (it is what gradient refinement conditions on);
+            # stored flat (M, h·w·C) for the same lane-padding reason
+            # as the banks (see _store)
             ref_lat = task.encode(p, _norm(ref), "mode")
             bank = task.generate_template_bank(
                 p, None, bank_R, chunk_size=chunk_size,
                 reference_latent=ref_lat,
             )
-            return _store(bank), ref_lat
+            return _store(bank), ref_lat.reshape(ref_lat.shape[0], -1)
 
         self._register_fn = jax.jit(_register)
 
@@ -223,9 +251,12 @@ class PoseEstimator:
                 sim, idx = task.retrieval(
                     p, None, _dequant(bank_b), query_latent=q_lat
                 )
+                # stored flat: reps (N·dim,), ref latent (1, h·w·C)
+                rep = bank_rep.reshape(self.num_templates, -1)
                 init_R = rotation_6d_to_matrix(
-                    bank_rep[idx[:, 0]].astype(jnp.float32)
+                    rep[idx[:, 0]].astype(jnp.float32)
                 )
+                ref_lat = ref_lat.reshape((1,) + self._latent_hwc)
                 ref_b = jnp.broadcast_to(
                     ref_lat, (q_lat.shape[0],) + ref_lat.shape[1:]
                 )
@@ -254,13 +285,18 @@ class PoseEstimator:
                 sim, idx = task.retrieval(
                     p, None, _dequant(bank_b), query_latent=q_lat
                 )
-                rep_b = jnp.take(bank_reps, inv, axis=0)  # (B, N, dim)
+                # stored flat: reps (M, N·dim), ref latents (M, h·w·C)
+                rep_b = jnp.take(bank_reps, inv, axis=0).reshape(
+                    inv.shape[0], self.num_templates, -1
+                )  # (B, N, dim)
                 init_R = rotation_6d_to_matrix(
                     jnp.take_along_axis(
                         rep_b, idx[:, :1, None], axis=1
                     )[:, 0].astype(jnp.float32)
                 )
-                ref_b = jnp.take(ref_lats, inv, axis=0)  # (B, h, w, C)
+                ref_b = jnp.take(ref_lats, inv, axis=0).reshape(
+                    (inv.shape[0],) + self._latent_hwc
+                )  # (B, h, w, C)
                 R_hat, _ = refiner(p, q_lat, ref_b, init_R)
                 return sim, idx, R_hat
 
@@ -271,6 +307,28 @@ class PoseEstimator:
     @property
     def num_templates(self) -> int:
         return len(self.template_poses)
+
+    def _pin_latent_hwc(self, image_hw) -> None:
+        """Pin the dense latent geometry (h, w, C) that flat-stored
+        records reshape back to inside compiled programs.  Derived
+        statically from the VAE config (downscale 2^(n_blocks−1)), so
+        no extra device program runs; a second registration or registry
+        load with a different geometry is rejected (the compiled
+        scoring programs bake the shape in at trace time)."""
+        vae = self.task.vae
+        f = 2 ** (len(vae.block_out_channels) - 1)
+        hwc = (
+            int(image_hw[0]) // f,
+            int(image_hw[1]) // f,
+            int(vae.latent_channels),
+        )
+        if self._latent_hwc is None:
+            self._latent_hwc = hwc
+        elif self._latent_hwc != hwc:
+            raise ValueError(
+                "mixed latent geometries in one estimator: "
+                f"{self._latent_hwc} vs {hwc}"
+            )
 
     def _device_images(self, images) -> jax.Array:
         """uint8 ships verbatim (normalised on device inside the jit);
@@ -353,17 +411,20 @@ class PoseEstimator:
         rel_rep = self._pose_representation(rel)  # (M, N, dim) f32
         bank_R = rel_rep.astype(jnp.bfloat16) if self._half else rel_rep
         refs = self._device_images(reference_images)
+        self._pin_latent_hwc(reference_images.shape[1:3])
         banks, ref_lats = self._register_fn(self.params, refs, bank_R)
         # one program returning M per-object slices — a host-side slicing
         # loop would issue M extra ~25 ms dispatches on high-latency links
         parts = self._split_fn(banks) if m > 1 else (banks,)
         lat_parts = self._split_fn(ref_lats) if m > 1 else (ref_lats,)
+        # f32 conditioning reps, kept for refinement inits: ONE fetch,
+        # stored host-side per object (flat (N·dim,))
+        reps_host = np.asarray(rel_rep, np.float32).reshape(m, -1)
         for i, object_id in enumerate(object_ids):
             self._banks[object_id] = parts[i]
             self._ref_poses[object_id] = reference_poses[i]
             self._ref_latents[object_id] = lat_parts[i]
-            # f32 conditioning reps, kept for refinement inits
-            self._bank_reps[object_id] = rel_rep[i]
+            self._bank_reps[object_id] = reps_host[i]
         self._stacked_cache = (None, None)
         self._stacked_refine_cache = (None, None)
 
@@ -389,23 +450,28 @@ class PoseEstimator:
             "__template_poses__": self.template_poses,
             "__bank_dtype__": np.asarray(self.bank_dtype),
         }
+        # disk format stays the DENSE logical layout (the flat in-memory
+        # layout is a TPU lane-padding concern, not a file format)
+        h, w, c = self._latent_hwc if self._banks else (0, 0, 0)
+        rep_dim = getattr(self.task.unet, "rot_representation_dim", 6)
         for oid, bank in self._banks.items():
             if self.bank_dtype == "int8":
                 q8, scale = bank
-                payload[f"bank_q8:{oid}"] = np.asarray(q8)  # int8 verbatim
-                payload[f"scale:{oid}"] = np.asarray(scale, np.float32)
+                payload[f"bank_q8:{oid}"] = np.asarray(q8).reshape(
+                    1, -1, h, w, c)  # int8 verbatim
+                payload[f"scale:{oid}"] = np.asarray(
+                    scale, np.float32).reshape(1, -1, 1, 1, c)
             else:
                 # persist f32 regardless of serving dtype (npz + bf16
                 # custom dtypes don't round-trip portably); cast at load
-                payload[f"bank:{oid}"] = np.asarray(bank, np.float32)
+                payload[f"bank:{oid}"] = np.asarray(
+                    bank, np.float32).reshape(1, -1, h, w, c)
             payload[f"pose:{oid}"] = self._ref_poses[oid]
             if self._ref_latents.get(oid) is not None:
                 payload[f"reflat:{oid}"] = np.asarray(
-                    self._ref_latents[oid], np.float32
-                )
+                    self._ref_latents[oid], np.float32).reshape(1, h, w, c)
                 payload[f"bankrep:{oid}"] = np.asarray(
-                    self._bank_reps[oid], np.float32
-                )
+                    self._bank_reps[oid], np.float32).reshape(-1, rep_dim)
         np.savez_compressed(path, **payload)
 
     def load_registry(self, path: str) -> None:
@@ -430,16 +496,27 @@ class PoseEstimator:
                     f"saved registry layout (bank_dtype={saved_dtype!r}) does "
                     f"not match this estimator ({self.bank_dtype!r})"
                 )
+            def _pin_hwc_from_dense(dense_shape):
+                hwc = tuple(int(d) for d in dense_shape[-3:])
+                if self._latent_hwc is None:
+                    self._latent_hwc = hwc
+                elif self._latent_hwc != hwc:
+                    raise ValueError(
+                        "registry latent geometry does not match this "
+                        f"estimator: {hwc} vs {self._latent_hwc}"
+                    )
+
             def _load_refinement_state(oid):
                 # registries from before the refinement feature carry no
                 # latents: such objects load fine but refuse refine_steps
                 if f"reflat:{oid}" in files:
+                    dense = data[f"reflat:{oid}"]
                     self._ref_latents[oid] = jnp.asarray(
-                        data[f"reflat:{oid}"], self._image_dtype
+                        dense.reshape(1, -1), self._image_dtype
                     )
-                    self._bank_reps[oid] = jnp.asarray(
-                        data[f"bankrep:{oid}"], jnp.float32
-                    )
+                    self._bank_reps[oid] = np.asarray(
+                        data[f"bankrep:{oid}"], np.float32
+                    ).reshape(-1)
                 else:
                     self._ref_latents[oid] = None
                     self._bank_reps[oid] = None
@@ -447,14 +524,22 @@ class PoseEstimator:
             for key in data.files:
                 if key.startswith("bank:"):
                     oid = key[len("bank:"):]
-                    self._banks[oid] = jnp.asarray(data[key], self._image_dtype)
+                    dense = data[key]  # (1, N, h, w, C) on disk
+                    _pin_hwc_from_dense(dense.shape)
+                    self._banks[oid] = jnp.asarray(
+                        dense.reshape(1, dense.shape[1], -1), self._image_dtype
+                    )
                     self._ref_poses[oid] = data[f"pose:{oid}"]
                     _load_refinement_state(oid)
                 elif key.startswith("bank_q8:"):
                     oid = key[len("bank_q8:"):]
+                    dense = data[key]
+                    _pin_hwc_from_dense(dense.shape)
                     self._banks[oid] = (
-                        jnp.asarray(data[key]),
-                        jnp.asarray(data[f"scale:{oid}"]),
+                        jnp.asarray(dense.reshape(1, dense.shape[1], -1)),
+                        jnp.asarray(
+                            data[f"scale:{oid}"].reshape(1, -1), np.float32
+                        ),
                     )
                     self._ref_poses[oid] = data[f"pose:{oid}"]
                     _load_refinement_state(oid)

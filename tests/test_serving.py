@@ -455,3 +455,42 @@ def test_estimate_many_with_refinement(estimator, rng):
         estimator.estimate_many(ids, queries, refine_steps=8)
     for oid in ("ra", "rb"):
         estimator.deregister_object(oid)
+
+
+def test_bank_storage_is_flat_lane_friendly(estimator, rng):
+    """Stored records must keep their LARGE axis minormost: TPU arrays
+    tile the trailing axis onto 128 lanes, so a stored bank ending in
+    the latent C=4 physically pads 32x (the round-4 512-object gallery
+    probe OOMed a 16 GB v5e on 0.7 GB of logical banks).  The engine
+    stores flat (1, N, h*w*C) / scales (1, N*C) / ref latents
+    (1, h*w*C) / host (N*dim,) reps; dense shapes exist only inside
+    compiled programs and in the (unchanged) registry disk format."""
+    ref = rng.uniform(-1, 1, (IMG, IMG, 3)).astype(np.float32)
+    estimator.register_object("flat", ref)
+    h, w, c = estimator._latent_hwc
+    assert (h, w, c) == (IMG // 8, IMG // 8, 4)
+    bank = estimator._banks["flat"]
+    assert bank.shape == (1, estimator.num_templates, h * w * c)
+    # (at flagship geometry h*w*c = 4096 — a full multiple of the 128
+    # lanes; the tiny test model's 64 still beats trailing C=4 by 16x)
+    assert estimator._ref_latents["flat"].shape == (1, h * w * c)
+    rep = estimator._bank_reps["flat"]
+    assert isinstance(rep, np.ndarray) and rep.shape == (
+        estimator.num_templates * 6,
+    )
+
+    # int8 record layout
+    q8e = PoseEstimator(
+        estimator.task, estimator.params, fast_evaluation=True,
+        bank_dtype="int8",
+    )
+    q8e.register_object("flat", ref)
+    q8, scale = q8e._banks["flat"]
+    assert q8.dtype == jnp.int8
+    assert q8.shape == (1, q8e.num_templates, h * w * c)
+    assert scale.shape == (1, q8e.num_templates * c)
+
+    # mixed latent geometry rejected (the compiled programs bake it in)
+    bigger = rng.uniform(-1, 1, (IMG * 2, IMG * 2, 3)).astype(np.float32)
+    with pytest.raises(ValueError, match="mixed latent geometries"):
+        estimator.register_object("other_geom", bigger)
