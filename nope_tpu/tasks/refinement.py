@@ -25,16 +25,20 @@ model: refinement cuts the retrieved top-1 geodesic error and beats the
 template-grid floor) and on v5e hardware (docs/PERFORMANCE.md "Round-3
 continuous refinement").
 
-The default ``steps=24, lr=2e-2`` come from the round-4 hardware sweep
-on the flagship 128-object checkpoint (``scripts/tune_refinement.py``,
-docs/PERFORMANCE.md "Round-4 refinement at flagship scale"): from a
-coarse 26-template init the error-vs-step trajectory bottoms out around
-step 21-24 at lr 2e-2 and regresses past ~30 steps; smaller lrs are
-strictly slower to the same or worse floor.  The same sweep showed
-refinement from the FULL 341-grid top-1 does not help when the model's
-own retrieval error dominates the grid floor — refinement is the
-cheap-init accelerator (26-sweep + refine), not a post-processor for
-the dense sweep.
+The default ``steps=24, lr=2e-2`` come from the round-4 hardware sweeps
+on the flagship 128- and 256-object checkpoints
+(``scripts/tune_refinement.py``, docs/PERFORMANCE.md "Round-4
+refinement at flagship scale"): from a coarse 26-template init the
+error-vs-step trajectory bottoms out around step 8-24 at lr 2e-2 and
+regresses past ~30 steps; smaller lrs are strictly slower.  WHERE
+refinement pays is checkpoint-dependent: on a model whose dense-sweep
+ranking is unreliable for new objects (the overfit 128-object
+checkpoint), 26-sweep + refine beats the full 341-sweep at 2.2× lower
+cost; on a better-generalized model (the 256-object checkpoint) the
+341-ranking is already good and refinement from ITS top-1 takes
+held-out objects 21.7° → 18.5° (3 steps at lr 2e-2) — in both regimes
+composing refinement onto the retrieval gave the best held-out-object
+result measured.
 """
 
 from __future__ import annotations
