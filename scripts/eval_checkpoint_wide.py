@@ -1,0 +1,167 @@
+"""Wide held-out-object evaluation of an exported probe checkpoint.
+
+The probe's held-out-object group is 4 fixed objects × 6 queries
+(n=24) — wide confidence intervals.  This script evaluates a
+``--params-out`` checkpoint on a WIDER never-seen set: ``--per-fam``
+fresh objects per family (ids 9100+, never used by any training or
+probe eval) × ``--queries`` views each, full-341 streaming retrieval,
+reported per family and pooled.  Used in round 4 to compare the 128-
+vs 256-object checkpoints on a common, larger query set
+(docs/PERFORMANCE.md).
+
+Run:  python scripts/eval_checkpoint_wide.py --ckpt /tmp/probe256_params.npz
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from nope_tpu.utils.env import enable_compilation_cache
+
+enable_compilation_cache()
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tests.fixtures import render_procedural
+from nope_tpu.scripts.generate_data import sample_camera_poses
+from nope_tpu.geometry import so3_grid
+from nope_tpu.geometry.cropping import crop_frame
+from nope_tpu.geometry.rotations import matrix_to_rotation_6d
+from nope_tpu.data.shapenet import SHAPENET_INTRINSIC
+from nope_tpu.models.unet import PoseUNet
+from nope_tpu.models.vae import StableDiffusionVAE
+from nope_tpu.tasks.pose_conditional import PoseConditionalTask, TaskConfig, cast_half
+
+
+def _arg(name, default, cast=int):
+    return cast(sys.argv[sys.argv.index(name) + 1]) if name in sys.argv else default
+
+
+IMG = 256
+CKPT = _arg("--ckpt", "/tmp/probe256_params.npz", str)
+PER_FAM = _arg("--per-fam", 4)
+N_QUERY = _arg("--queries", 12)
+
+vae = StableDiffusionVAE()
+task = PoseConditionalTask(
+    PoseUNet(u_net_dim=192, channels=4, dim_mults=(1, 2, 4, 8), resnet_block_groups=8),
+    vae,
+    TaskConfig(),
+)
+_init = task.init(jax.random.key(2), image_size=IMG)
+with np.load(CKPT, allow_pickle=False) as z:
+    ckpt_step = int(z["probe_step"])
+    import ml_dtypes
+
+    mask = z["bf16_mask"]
+    leaves = [
+        z[f"leaf_{i}"].view(ml_dtypes.bfloat16) if mask[i] else z[f"leaf_{i}"]
+        for i in range(int(z["n_leaves"]))
+    ]
+    params_h = jax.tree.unflatten(
+        jax.tree.structure(cast_half({"unet": _init["unet"], "vae": _init["vae"]})),
+        [jnp.asarray(l) for l in leaves],
+    )
+print(f"loaded {CKPT} at step {ckpt_step}", flush=True)
+
+
+def make_points(obj_id):
+    # probe_unseen_objects 4-family zoo (ids >= 68 rule)
+    rng = np.random.default_rng(4000 + obj_id)
+    fam = obj_id % 2 if obj_id <= 67 else obj_id % 4
+    if fam == 0:
+        pts = rng.normal(size=(60, 3)) * 0.12
+    elif fam == 1:
+        pts = rng.normal(size=(110, 3)) * np.array([0.055, 0.06, 0.17])
+    elif fam == 2:
+        pts = rng.normal(size=(90, 3)) * np.array([0.145, 0.125, 0.035])
+    else:
+        th = rng.uniform(0.0, 2.0 * np.pi, 120)
+        ring = np.stack([np.cos(th), np.sin(th), np.zeros_like(th)], -1) * 0.13
+        pts = ring + rng.normal(size=(120, 3)) * 0.03
+    cols = rng.integers(60, 255, (len(pts), 3))
+    return pts, cols
+
+
+def render_crop(obj_id, pose):
+    pts, cols = make_points(obj_id)
+    rgba = render_procedural(pose, pts, cols, img_px=512)
+    rgb = rgba[..., :3].astype(np.float32) * (rgba[..., 3:4].astype(np.float32) / 255.0)
+    u8 = crop_frame(rgb.astype(np.uint8), mask=None, intrinsic=SHAPENET_INTRINSIC,
+                    openCV_pose=pose, image_size=IMG, virtual_bbox_size=1.0)
+    return (u8.astype(np.float32) / 255.0) * 2.0 - 1.0
+
+
+# fresh never-seen ids: 9100 + k, chosen so id%4 cycles the families
+OBJ_IDS = [9100 + 4 * j + f for f in range(4) for j in range(PER_FAM)]
+
+grid341 = so3_grid.get_obj_poses_from_template_level(2, "upper")[:, :3, :3]
+grid341 = grid341.astype(np.float32)
+
+t0 = time.time()
+q_imgs, refs, rel_mats, gt_rel, fams = [], [], [], [], []
+for o in OBJ_IDS:
+    prng = np.random.default_rng(6000 + o)
+    poses_q = sample_camera_poses(prng, N_QUERY, 1.0)
+    pose_r = sample_camera_poses(prng, 1, 1.0)[0]
+    ref = render_crop(o, pose_r)
+    rel = np.einsum("nij,kj->nik", grid341, pose_r[:3, :3])  # ΔR_n = T_n R_refᵀ
+    for p in poses_q:
+        q_imgs.append(render_crop(o, p)); refs.append(ref)
+        rel_mats.append(rel.astype(np.float32))
+        gt_rel.append(p[:3, :3] @ pose_r[:3, :3].T)
+        fams.append(o % 4)
+B = len(q_imgs)
+gt_rel = np.stack(gt_rel)
+rel_mats = np.stack(rel_mats)  # (B, 341, 3, 3)
+fams = np.array(fams)
+print(f"rendered {len(OBJ_IDS)} objects x {N_QUERY} queries = {B} "
+      f"({time.time()-t0:.0f}s)", flush=True)
+
+_stream341 = jax.jit(
+    lambda p, q, r, bR: task.retrieve_streaming(p, q, r, bR, chunk_size=31))
+q = jnp.asarray(np.stack(q_imgs), jnp.bfloat16)
+r = jnp.asarray(np.stack(refs), jnp.bfloat16)
+b341 = matrix_to_rotation_6d(jnp.asarray(rel_mats)).astype(jnp.bfloat16)
+t0 = time.time()
+_, idx = _stream341(params_h, q, r, b341)
+idx = np.asarray(idx)
+print(f"341 sweep {time.time()-t0:.0f}s", flush=True)
+
+
+def geo_deg(a, b):
+    tr = np.einsum("...ij,...kj->...ik", np.asarray(a, np.float64),
+                   np.asarray(b, np.float64))
+    cos = (np.trace(tr, axis1=-2, axis2=-1) - 1.0) / 2.0
+    return np.degrees(np.arccos(np.clip(cos, -1.0, 1.0)))
+
+
+ar = np.arange(B)
+err1 = geo_deg(rel_mats[ar, idx[:, 0]], gt_rel)               # top-1
+err5 = np.min(
+    np.stack([geo_deg(rel_mats[ar, idx[:, k]], gt_rel) for k in range(5)]),
+    axis=0,
+)                                                             # best-of-top-5
+floor = np.min(geo_deg(rel_mats, gt_rel[:, None]), axis=1)    # grid floor
+
+
+def report(mask, label):
+    print(json.dumps({
+        "ckpt": os.path.basename(CKPT), "ckpt_step": ckpt_step,
+        "label": label, "n": int(mask.sum()),
+        "top1_median_deg": round(float(np.median(err1[mask])), 2),
+        "top5_median_deg": round(float(np.median(err5[mask])), 2),
+        "acc15": round(float(np.mean(err1[mask] <= 15)), 3),
+        "acc30": round(float(np.mean(err1[mask] <= 30)), 3),
+        "grid_floor_median_deg": round(float(np.median(floor[mask])), 2),
+    }), flush=True)
+
+
+for f, name in enumerate(["A_blob", "B_elongated", "C_platelet", "D_ring"]):
+    report(fams == f, f"fam_{name}")
+report(np.ones(B, bool), "pooled")
+print("DONE", flush=True)
