@@ -55,7 +55,10 @@ def _arg(name, default):
 
 IMG = 256
 N_TRAIN_OBJ = _arg("--n-train-obj", 24)  # ablation: vary the train-set size
-assert 4 <= N_TRAIN_OBJ <= 256
+# 512 puts ~2.7 GB of uint8 training views on the device (27 frames x
+# 196 KB x 516 objects) beside the ~1.5 GB train state — measured fine
+# on a 16 GB v5e; the cap guards the next doubling, not this one
+assert 4 <= N_TRAIN_OBJ <= 512
 HELDOUT_OBJS = list(range(24, 28))       # fixed across ablations for comparability
 # round-4: an optional SECOND held-out group drawn from the two shape
 # families that only exist for train ids >= 68 (families C/D below) —
