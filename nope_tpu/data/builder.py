@@ -99,7 +99,15 @@ def build_train_loaders(cfg: ExperimentConfig) -> Dict[str, DataLoader]:
             dataset = build_bop_texture_group(cfg, ds_cfg)
         else:
             dataset = build_dataset(ds_cfg)
-        use_grain = getattr(cfg.machine, "loader", "threads") == "grain"
+        loader_kind = getattr(cfg.machine, "loader", "threads")
+        if loader_kind not in ("threads", "grain"):
+            # fail fast: a typo here would silently fall back to the
+            # single-host thread loader (no ShardByJaxProcess), making
+            # every host consume the full dataset
+            raise ValueError(
+                f"machine.loader={loader_kind!r}: expected 'threads' or 'grain'"
+            )
+        use_grain = loader_kind == "grain"
         collate_fn = post_batch_fn = None
         if ds_cfg.native_preprocess and name == "shapeNet":
             from nope_tpu.data.shapenet import NativeCollateView

@@ -15,6 +15,24 @@ from typing import Any, Optional
 import numpy as np
 
 
+def _wrap_source(dataset: Any):
+    """Adapt a map-style dataset to ``grain.RandomAccessDataSource``
+    (single definition shared by both loader builders below)."""
+    import grain.python as grain
+
+    class _Source(grain.RandomAccessDataSource):
+        def __init__(self, ds):
+            self._ds = ds
+
+        def __len__(self):
+            return len(self._ds)
+
+        def __getitem__(self, idx):
+            return self._ds[int(idx)]
+
+    return _Source(dataset)
+
+
 def make_grain_loader(
     dataset: Any,
     batch_size: int,
@@ -35,16 +53,6 @@ def make_grain_loader(
     import grain.python as grain
     import jax
 
-    class _Source(grain.RandomAccessDataSource):
-        def __init__(self, ds):
-            self._ds = ds
-
-        def __len__(self):
-            return len(self._ds)
-
-        def __getitem__(self, idx):
-            return self._ds[int(idx)]
-
     if shard_by_process and jax.process_count() > 1:
         shard_options = grain.ShardByJaxProcess(drop_remainder=True)
     else:
@@ -58,7 +66,7 @@ def make_grain_loader(
         shard_options=shard_options,
     )
     return grain.DataLoader(
-        data_source=_Source(dataset),
+        data_source=_wrap_source(dataset),
         sampler=sampler,
         operations=[grain.Batch(batch_size=batch_size, drop_remainder=drop_remainder)],
         worker_count=num_workers,
@@ -142,16 +150,6 @@ class GrainLoader:
         if hasattr(self.dataset, "set_epoch"):
             self.dataset.set_epoch(self._epoch)
 
-        class _Source(grain.RandomAccessDataSource):
-            def __init__(self, ds):
-                self._ds = ds
-
-            def __len__(self):
-                return len(self._ds)
-
-            def __getitem__(self, idx):
-                return self._ds[int(idx)]
-
         if self.shard_by_process and jax.process_count() > 1:
             shard_options = grain.ShardByJaxProcess(drop_remainder=True)
         else:
@@ -163,7 +161,7 @@ class GrainLoader:
         # own Batch runs inside each worker, which makes batch
         # composition a function of worker_count)
         loader = grain.DataLoader(
-            data_source=_Source(self.dataset),
+            data_source=_wrap_source(self.dataset),
             sampler=grain.IndexSampler(
                 num_records=len(self.dataset),
                 shuffle=self.shuffle,
@@ -189,6 +187,11 @@ class GrainLoader:
                 emitted += 1
                 if emitted == n_batches:
                     break
+        # drop_last=False: the final partial batch (counted by __len__,
+        # so resume offsets stay consistent with the emitted stream)
+        if buf and not self.drop_last and emitted < n_batches and emitted >= start:
+            batch = collate(buf)
+            yield self.post_batch_fn(batch) if self.post_batch_fn else batch
 
 
 def make_native_post_batch(img_size: int):

@@ -26,12 +26,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from tests.fixtures import render_procedural
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _probe_common import render_crop, load_params_leaves
+
 from nope_tpu.scripts.generate_data import sample_camera_poses
 from nope_tpu.geometry import so3_grid
-from nope_tpu.geometry.cropping import crop_frame
 from nope_tpu.geometry.rotations import matrix_to_rotation_6d
-from nope_tpu.data.shapenet import SHAPENET_INTRINSIC
 from nope_tpu.models.unet import PoseUNet
 from nope_tpu.models.vae import StableDiffusionVAE
 from nope_tpu.tasks.pose_conditional import PoseConditionalTask, TaskConfig, cast_half
@@ -55,45 +55,11 @@ task = PoseConditionalTask(
 _init = task.init(jax.random.key(2), image_size=IMG)
 with np.load(CKPT, allow_pickle=False) as z:
     ckpt_step = int(z["probe_step"])
-    import ml_dtypes
-
-    mask = z["bf16_mask"]
-    leaves = [
-        z[f"leaf_{i}"].view(ml_dtypes.bfloat16) if mask[i] else z[f"leaf_{i}"]
-        for i in range(int(z["n_leaves"]))
-    ]
     params_h = jax.tree.unflatten(
         jax.tree.structure(cast_half({"unet": _init["unet"], "vae": _init["vae"]})),
-        [jnp.asarray(l) for l in leaves],
+        [jnp.asarray(l) for l in load_params_leaves(z)],
     )
 print(f"loaded {CKPT} at step {ckpt_step}", flush=True)
-
-
-def make_points(obj_id):
-    # probe_unseen_objects 4-family zoo (ids >= 68 rule)
-    rng = np.random.default_rng(4000 + obj_id)
-    fam = obj_id % 2 if obj_id <= 67 else obj_id % 4
-    if fam == 0:
-        pts = rng.normal(size=(60, 3)) * 0.12
-    elif fam == 1:
-        pts = rng.normal(size=(110, 3)) * np.array([0.055, 0.06, 0.17])
-    elif fam == 2:
-        pts = rng.normal(size=(90, 3)) * np.array([0.145, 0.125, 0.035])
-    else:
-        th = rng.uniform(0.0, 2.0 * np.pi, 120)
-        ring = np.stack([np.cos(th), np.sin(th), np.zeros_like(th)], -1) * 0.13
-        pts = ring + rng.normal(size=(120, 3)) * 0.03
-    cols = rng.integers(60, 255, (len(pts), 3))
-    return pts, cols
-
-
-def render_crop(obj_id, pose):
-    pts, cols = make_points(obj_id)
-    rgba = render_procedural(pose, pts, cols, img_px=512)
-    rgb = rgba[..., :3].astype(np.float32) * (rgba[..., 3:4].astype(np.float32) / 255.0)
-    u8 = crop_frame(rgb.astype(np.uint8), mask=None, intrinsic=SHAPENET_INTRINSIC,
-                    openCV_pose=pose, image_size=IMG, virtual_bbox_size=1.0)
-    return (u8.astype(np.float32) / 255.0) * 2.0 - 1.0
 
 
 # fresh never-seen ids: 9100 + k, chosen so id%4 cycles the families
@@ -124,12 +90,24 @@ print(f"rendered {len(OBJ_IDS)} objects x {N_QUERY} queries = {B} "
 
 _stream341 = jax.jit(
     lambda p, q, r, bR: task.retrieve_streaming(p, q, r, bR, chunk_size=31))
-q = jnp.asarray(np.stack(q_imgs), jnp.bfloat16)
-r = jnp.asarray(np.stack(refs), jnp.bfloat16)
-b341 = matrix_to_rotation_6d(jnp.asarray(rel_mats)).astype(jnp.bfloat16)
+q = np.stack(q_imgs)
+r = np.stack(refs)
+b341 = np.asarray(matrix_to_rotation_6d(jnp.asarray(rel_mats)).astype(jnp.bfloat16))
+# chunk the query axis: one B=192 dispatch (U-Net chunk batch 192x31)
+# is past the envelope validated on the 16 GB v5e (~128, see
+# probe_gallery.py); CH=48 divides both the 144- and 192-query runs so
+# every chunk compiles once, and chunking is numerically invisible
+# (queries are independent)
+CH = 48
 t0 = time.time()
-_, idx = _stream341(params_h, q, r, b341)
-idx = np.asarray(idx)
+idx_parts = []
+for s in range(0, B, CH):
+    part = _stream341(params_h,
+                      jnp.asarray(q[s:s + CH], jnp.bfloat16),
+                      jnp.asarray(r[s:s + CH], jnp.bfloat16),
+                      jnp.asarray(b341[s:s + CH]))[1]
+    idx_parts.append(np.asarray(part))
+idx = np.concatenate(idx_parts)
 print(f"341 sweep {time.time()-t0:.0f}s", flush=True)
 
 

@@ -40,10 +40,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from tests.fixtures import render_procedural
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _probe_common import render_crop, load_params_leaves
+
 from nope_tpu.scripts.generate_data import sample_camera_poses
-from nope_tpu.geometry.cropping import crop_frame
-from nope_tpu.data.shapenet import SHAPENET_INTRINSIC
 from nope_tpu.models.unet import PoseUNet
 from nope_tpu.models.vae import StableDiffusionVAE
 from nope_tpu.serving.engine import PoseEstimator
@@ -73,47 +73,12 @@ task = PoseConditionalTask(
 _init = task.init(jax.random.key(2), image_size=IMG)
 with np.load(CKPT, allow_pickle=False) as z:
     ckpt_step = int(z["probe_step"])
-    n_leaves = int(z["n_leaves"])
     assert "params_only" in z.files, "gallery probe expects a --params-out ckpt"
-    import ml_dtypes
-
-    mask = z["bf16_mask"]
-    leaves = [
-        z[f"leaf_{i}"].view(ml_dtypes.bfloat16) if mask[i] else z[f"leaf_{i}"]
-        for i in range(n_leaves)
-    ]
     params = jax.tree.unflatten(
         jax.tree.structure(cast_half({"unet": _init["unet"], "vae": _init["vae"]})),
-        [jnp.asarray(l) for l in leaves],
+        [jnp.asarray(l) for l in load_params_leaves(z)],
     )
 print(f"loaded ckpt at step {ckpt_step}", flush=True)
-
-
-def make_points(obj_id):
-    # the probe_unseen_objects.py 4-family zoo (ids >= 68 rule)
-    rng = np.random.default_rng(4000 + obj_id)
-    fam = obj_id % 2 if obj_id <= 67 else obj_id % 4
-    if fam == 0:
-        pts = rng.normal(size=(60, 3)) * 0.12
-    elif fam == 1:
-        pts = rng.normal(size=(110, 3)) * np.array([0.055, 0.06, 0.17])
-    elif fam == 2:
-        pts = rng.normal(size=(90, 3)) * np.array([0.145, 0.125, 0.035])
-    else:
-        th = rng.uniform(0.0, 2.0 * np.pi, 120)
-        ring = np.stack([np.cos(th), np.sin(th), np.zeros_like(th)], -1) * 0.13
-        pts = ring + rng.normal(size=(120, 3)) * 0.03
-    cols = rng.integers(60, 255, (len(pts), 3))
-    return pts, cols
-
-
-def render_crop(obj_id, pose):
-    pts, cols = make_points(obj_id)
-    rgba = render_procedural(pose, pts, cols, img_px=512)
-    rgb = rgba[..., :3].astype(np.float32) * (rgba[..., 3:4].astype(np.float32) / 255.0)
-    u8 = crop_frame(rgb.astype(np.uint8), mask=None, intrinsic=SHAPENET_INTRINSIC,
-                    openCV_pose=pose, image_size=IMG, virtual_bbox_size=1.0)
-    return (u8.astype(np.float32) / 255.0) * 2.0 - 1.0
 
 
 def fence(x):

@@ -34,11 +34,13 @@ import jax
 import jax.numpy as jnp
 
 from tests.fixtures import render_procedural
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _probe_common import make_points, crop_u8, norm_np, load_params_leaves
+
 from nope_tpu.scripts.generate_data import sample_camera_poses
 from nope_tpu.geometry import so3_grid
-from nope_tpu.geometry.cropping import crop_frame
 from nope_tpu.geometry.rotations import matrix_to_rotation_6d
-from nope_tpu.data.shapenet import SHAPENET_INTRINSIC
 from nope_tpu.models.unet import PoseUNet
 from nope_tpu.models.vae import StableDiffusionVAE
 from nope_tpu.tasks.pose_conditional import PoseConditionalTask, TaskConfig, cast_half
@@ -77,21 +79,12 @@ with np.load(CKPT, allow_pickle=False) as z:
     ckpt_step = int(z["probe_step"])
     n_leaves = int(z["n_leaves"])
     if "params_only" in z.files:
-        # bf16 params-only export (probe_unseen_objects --params-out):
-        # bf16 leaves are stored as raw uint16 (np.save cannot round-trip
-        # the ml_dtypes descr); view them back before unflattening
-        import ml_dtypes
-
-        mask = z["bf16_mask"]
-        leaves = [
-            z[f"leaf_{i}"].view(ml_dtypes.bfloat16) if mask[i] else z[f"leaf_{i}"]
-            for i in range(n_leaves)
-        ]
+        # bf16 params-only export (probe_unseen_objects --params-out)
         params_h = jax.tree.unflatten(
             jax.tree.structure(
                 cast_half({"unet": state.unet_params, "vae": state.vae_params})
             ),
-            [jnp.asarray(l) for l in leaves],
+            [jnp.asarray(l) for l in load_params_leaves(z)],
         )
     else:
         leaves = [z[f"leaf_{i}"] for i in range(n_leaves)]
@@ -105,32 +98,6 @@ print(f"loaded ckpt at step {ckpt_step}", flush=True)
 TRAIN_IDS = list(range(min(24, N_TRAIN_OBJ))) + list(
     range(28, 28 + max(0, N_TRAIN_OBJ - 24))
 )
-
-
-def make_points(obj_id):
-    # mirrors probe_unseen_objects.make_points (4-family rule for ids
-    # >= 68; the eval ids used here are all <= 67 so the round-3 rule
-    # applies, but keep the functions identical to avoid drift)
-    rng = np.random.default_rng(4000 + obj_id)
-    fam = obj_id % 2 if obj_id <= 67 else obj_id % 4
-    if fam == 0:
-        pts = rng.normal(size=(60, 3)) * 0.12
-    elif fam == 1:
-        pts = rng.normal(size=(110, 3)) * np.array([0.055, 0.06, 0.17])
-    elif fam == 2:
-        pts = rng.normal(size=(90, 3)) * np.array([0.145, 0.125, 0.035])
-    else:
-        th = rng.uniform(0.0, 2.0 * np.pi, 120)
-        ring = np.stack([np.cos(th), np.sin(th), np.zeros_like(th)], -1) * 0.13
-        pts = ring + rng.normal(size=(120, 3)) * 0.03
-    cols = rng.integers(60, 255, (len(pts), 3))
-    return pts, cols
-
-
-def crop_u8(rgba, pose):
-    rgb = rgba[..., :3].astype(np.float32) * (rgba[..., 3:4].astype(np.float32) / 255.0)
-    return crop_frame(rgb.astype(np.uint8), mask=None, intrinsic=SHAPENET_INTRINSIC,
-                      openCV_pose=pose, image_size=IMG, virtual_bbox_size=1.0)
 
 
 t0 = time.time()
@@ -162,10 +129,6 @@ _idx26_ids = so3_grid.load_index_level0_in_level2("upper")
 _id2pos = so3_grid.load_mapping_id_templates_to_idx_pose_distribution(2, "upper")
 idx26 = np.array([_id2pos[int(i)] for i in _idx26_ids])
 grid26 = grid341[idx26]
-
-
-def norm_np(u8):
-    return (u8.astype(np.float32) / 255.0) * 2.0 - 1.0
 
 
 # jitted programs ------------------------------------------------------------

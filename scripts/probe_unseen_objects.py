@@ -35,11 +35,15 @@ import jax
 import jax.numpy as jnp
 
 from tests.fixtures import render_procedural
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+# shared zoo + crop pipeline (single source of truth for all probe
+# scripts; bit-exactness contract documented there)
+from _probe_common import make_points, crop_u8, norm_np
+
 from nope_tpu.scripts.generate_data import sample_camera_poses
 from nope_tpu.geometry import so3_grid
-from nope_tpu.geometry.cropping import crop_frame
 from nope_tpu.geometry.rotations import matrix_to_rotation_6d
-from nope_tpu.data.shapenet import SHAPENET_INTRINSIC
 from nope_tpu.models.unet import PoseUNet
 from nope_tpu.models.vae import StableDiffusionVAE
 from nope_tpu.tasks.pose_conditional import PoseConditionalTask, TaskConfig, cast_half
@@ -112,41 +116,6 @@ PARAMS_OUT = (sys.argv[sys.argv.index("--params-out") + 1]
 # data: render + crop (two shape families; seeds fixed => fully
 # deterministic dataset, so resume regenerates identical arrays)
 # ---------------------------------------------------------------------------
-
-def make_points(obj_id):
-    """Procedural shape zoo.  Ids <= 67 keep the round-3 2-family rule
-    bit-identical (the 8/24/64 scaling table regenerates exactly); ids
-    >= 68 — only reachable by the round-4 128/256-object runs — draw
-    from FOUR families via id%4, adding flat platelets and noisy rings
-    so the train distribution spans genuinely different topologies."""
-    rng = np.random.default_rng(4000 + obj_id)
-    fam = obj_id % 2 if obj_id <= 67 else obj_id % 4
-    if fam == 0:  # family A: isotropic blob (round-2 style)
-        pts = rng.normal(size=(60, 3)) * 0.12
-    elif fam == 1:  # family B: denser, elongated (bottle-like)
-        pts = rng.normal(size=(110, 3)) * np.array([0.055, 0.06, 0.17])
-    elif fam == 2:  # family C: flat platelet (tablet-like)
-        pts = rng.normal(size=(90, 3)) * np.array([0.145, 0.125, 0.035])
-    else:  # family D: noisy ring (torus-like — a hole, unlike A-C)
-        th = rng.uniform(0.0, 2.0 * np.pi, 120)
-        ring = np.stack([np.cos(th), np.sin(th), np.zeros_like(th)], -1) * 0.13
-        pts = ring + rng.normal(size=(120, 3)) * 0.03
-    cols = rng.integers(60, 255, (len(pts), 3))
-    return pts, cols
-
-
-def crop_u8(rgba, pose):
-    """uint8 crop; normalization to [-1, 1] happens ON DEVICE (norm_np /
-    the indexed train step below) — 4x fewer bytes everywhere and the
-    f32 arithmetic is identical either side of the transfer."""
-    rgb = rgba[..., :3].astype(np.float32) * (rgba[..., 3:4].astype(np.float32) / 255.0)
-    return crop_frame(rgb.astype(np.uint8), mask=None, intrinsic=SHAPENET_INTRINSIC,
-                      openCV_pose=pose, image_size=IMG, virtual_bbox_size=1.0)
-
-
-def norm_np(u8):
-    return (u8.astype(np.float32) / 255.0) * 2.0 - 1.0
-
 
 t0 = time.time()
 # training views = the 26-fast-grid TEMPLATE poses (the recipe the

@@ -240,6 +240,43 @@ def test_grain_epoch_loader_trainer_contract():
     assert [b["x"][:, 0].tolist() for b in loader3] == e1[3:]
 
 
+def test_grain_loader_drop_last_false_emits_partial_tail():
+    """drop_last=False must emit the final partial batch __len__ counts
+    (it used to sit in the batching buffer and be silently dropped,
+    desynchronizing set_state resume offsets from the emitted stream)."""
+    from nope_tpu.data.grain_pipeline import GrainLoader
+
+    def build():
+        return GrainLoader(EpochKeyedDataset(10), batch_size=4, seed=4,
+                           drop_last=False, shard_by_process=False)
+
+    loader = build()
+    assert len(loader) == 3
+    e0 = [b["x"][:, 0].tolist() for b in loader]
+    assert [len(b) for b in e0] == [4, 4, 2]
+    assert sorted(v for b in e0 for v in b) == [float(i) for i in range(10)]
+    # resume offset accounts for the partial batch
+    resumed = build()
+    resumed.set_state(0, 2)
+    assert [b["x"][:, 0].tolist() for b in resumed][0] == e0[2]
+
+
+def test_builder_rejects_unknown_loader(monkeypatch):
+    """A typo'd machine.loader must fail fast, not silently fall back to
+    the single-host thread loader (which would duplicate the dataset
+    across hosts)."""
+    from nope_tpu.configs import load_config
+    from nope_tpu.data import builder
+
+    monkeypatch.setattr(builder, "build_dataset", lambda cfg: ToyDataset(8))
+    cfg = load_config(None, [
+        "machine.loader=Grain", "machine.batch_size=2",
+        "train_data_name=shapeNet", "data.datasets.shapeNet.name=shapeNet",
+    ])
+    with pytest.raises(ValueError, match="machine.loader"):
+        builder.build_train_loaders(cfg)
+
+
 def test_grain_loader_in_combined_loader_set_state():
     """The Trainer's deterministic resume works through the grain path
     (CombinedLoader.set_state -> GrainLoader.set_state)."""
