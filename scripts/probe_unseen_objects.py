@@ -15,6 +15,13 @@ session death costs at most 500 steps.  Results stream to stdout as
 JSON lines and accumulate in <out>/history.json; the summary table
 lives in docs/PERFORMANCE.md ("Round-3 unseen-object generalization").
 
+Round-4 additions: ``--ema <beta>`` maintains a beta-EMA of the U-Net
+params on device and evaluates it alongside the instantaneous weights
+(history[i]["ema"]); ``--best-params-out <path>`` exports the params
+at the best heldout-VIEWS (validation) eval point — instantaneous or
+EMA, whichever won — as a params-only npz (probe_step = winning step,
+plus best_views_top1 / best_stream metadata).
+
 Run (v5e, ~2 h):  python scripts/probe_unseen_objects.py
 Ablation:         python scripts/probe_unseen_objects.py --n-train-obj 8 \
                       --out /tmp/probe_unseen_ablate8
@@ -95,6 +102,13 @@ STEPS_POSE = _arg("--steps", 8000)
 # (docs/PERFORMANCE.md round-3); clipping is the probe-only mitigation
 CLIP = (float(sys.argv[sys.argv.index("--clip") + 1])
         if "--clip" in sys.argv else 0.0)
+# evaluation-time EMA (0 = off): maintain beta-EMA of the U-Net params
+# on device and evaluate it ALONGSIDE the instantaneous weights each
+# eval point (groups land under history[i]["ema"]).  Diffusion-style
+# training conventionally evals an EMA; the 512-object runs' transient
+# eval collapses (docs/PERFORMANCE.md) motivated measuring it here.
+EMA = (float(sys.argv[sys.argv.index("--ema") + 1])
+       if "--ema" in sys.argv else 0.0)
 EVAL_EVERY = _arg("--eval-every", 2000)
 CKPT_EVERY = _arg("--ckpt-every", 2000)  # a 2 GB state fetch over the tunnel
                    # is ~13 min; checkpoint on the eval cadence or coarser
@@ -110,6 +124,12 @@ CKPT = os.path.join(OUT, "ckpt.npz")
 # that CLAUDE.md flags as wedge-prone
 PARAMS_OUT = (sys.argv[sys.argv.index("--params-out") + 1]
               if "--params-out" in sys.argv else "")
+# checkpoint selection: export the params at the BEST heldout-VIEWS
+# (validation group — never the heldout-objects test group) eval point
+# seen during the run.  The snapshot lives on device in bf16 between
+# evals; the host fetch happens once, at the end
+BEST_OUT = (sys.argv[sys.argv.index("--best-params-out") + 1]
+            if "--best-params-out" in sys.argv else "")
 
 
 # ---------------------------------------------------------------------------
@@ -180,6 +200,7 @@ step_fn = make_train_step(task, tx)
 rng = np.random.default_rng(7)
 history = []
 start_step = 0
+ema_params = None  # set below iff EMA > 0
 
 if os.path.exists(CKPT):
     # resume: leaves in flatten order + numpy batch-stream state
@@ -188,6 +209,11 @@ if os.path.exists(CKPT):
         leaves = [z[f"leaf_{i}"] for i in range(z["n_leaves"])]
         start_step = int(z["probe_step"])
         rng_state = json.loads(str(z["rng_state"]))
+        if EMA and "ema_n" in z:
+            ema_params = jax.tree.unflatten(
+                jax.tree.structure(state.unet_params),
+                [jnp.asarray(z[f"ema_leaf_{i}"]) for i in range(z["ema_n"])],
+            )
     state = jax.tree.unflatten(treedef, [jnp.asarray(l) for l in leaves])
     rng_state["state"] = {k: int(v) for k, v in rng_state["state"].items()}
     rng.bit_generator.state = rng_state
@@ -230,6 +256,11 @@ def save_ckpt(state, probe_step):
     leaves = [np.asarray(l) for l in jax.tree.leaves(state)]
     rng_state = dict(rng.bit_generator.state)
     rng_state["state"] = {k: str(v) for k, v in rng_state["state"].items()}
+    extra = {}
+    if ema_params is not None:
+        eleaves = [np.asarray(l) for l in jax.tree.leaves(ema_params)]
+        extra["ema_n"] = len(eleaves)
+        extra.update({f"ema_leaf_{i}": l for i, l in enumerate(eleaves)})
     tmp = CKPT + ".tmp.npz"
     np.savez(
         tmp,
@@ -237,6 +268,7 @@ def save_ckpt(state, probe_step):
         probe_step=probe_step,
         rng_state=json.dumps(rng_state),
         **{f"leaf_{i}": l for i, l in enumerate(leaves)},
+        **extra,
     )
     os.replace(tmp, CKPT)
 
@@ -348,6 +380,21 @@ def eval_group(params_h, objs, label, use_train_views=False, n_queries=None):
     return res
 
 
+if EMA and ema_params is None:
+    # fresh EMA stream: start from the stage-2 initial U-Net weights.
+    # Must be a REAL copy — jnp.asarray aliases, and step_indexed
+    # donates the state, which would delete the aliased buffers
+    ema_params = jax.tree.map(lambda x: jnp.array(x, copy=True),
+                              state.unet_params)
+
+_ema_step = jax.jit(lambda e, p: jax.tree.map(
+    lambda a, b: a * EMA + b * (1.0 - EMA), e, p))
+
+# best-checkpoint tracking (validation group = heldout VIEWS of train
+# objects; heldout OBJECTS stay a pure test group).  The params_h built
+# for the winning eval is itself the device-resident bf16 snapshot.
+best = {"views_top1": float("inf"), "step": -1, "params": None, "stream": ""}
+
 t0 = time.time()
 for step in range(start_step, STEPS_POSE + 1):
     if step % EVAL_EVERY == 0 or step == STEPS_POSE:
@@ -369,37 +416,69 @@ for step in range(start_step, STEPS_POSE + 1):
                              f"heldout_objects_wide@{step}",
                              n_queries=N_QUERY + EXTRA_HO_QUERIES)
             history[-1]["objects_wide"] = how
+        candidates = [("inst", params_h, hv)]
+        if EMA:
+            params_e = cast_half({"unet": ema_params, "vae": state.vae_params})
+            ev = eval_group(params_e, TRAIN_IDS[:24], f"heldout_views_ema@{step}")
+            eo = eval_group(params_e, HELDOUT_OBJS, f"heldout_objects_ema@{step}")
+            history[-1]["ema"] = {"views": ev, "objects": eo}
+            if HELDOUT_NEWFAM:
+                history[-1]["ema"]["newfam"] = eval_group(
+                    params_e, HELDOUT_NEWFAM, f"heldout_newfam_ema@{step}")
+            candidates.append(("ema", params_e, ev))
+        for stream, p, r in candidates:
+            if r["top1_median_deg"] < best["views_top1"]:
+                best.update(views_top1=r["top1_median_deg"], step=step,
+                            params=p, stream=stream)
         json.dump(history, open(os.path.join(OUT, "history.json"), "w"), indent=1)
     if step < STEPS_POSE:
         state, metrics = step_indexed(state, views_dev, Rs_dev, *make_batch(rng))
+        if EMA:
+            ema_params = _ema_step(ema_params, state.unet_params)
         if (step + 1) % CKPT_EVERY == 0:
             save_ckpt(state, step + 1)
         if step % 250 == 0:
             print(f"step {step}: loss={float(metrics['loss/train_avg']):.4f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
 
-if PARAMS_OUT:
+def export_params(path, params_h, probe_step, **meta):
     import ml_dtypes
 
-    ph = cast_half({"unet": state.unet_params, "vae": state.vae_params})
-    pleaves = [np.asarray(l) for l in jax.tree.leaves(ph)]
+    pleaves = [np.asarray(l) for l in jax.tree.leaves(params_h)]
     bf16_mask = np.asarray(
         [l.dtype == ml_dtypes.bfloat16 for l in pleaves], bool
     )
-    tmp = PARAMS_OUT + ".tmp.npz"
+    tmp = path + ".tmp.npz"
     np.savez(
         tmp,
         params_only=1,
-        # the params are at the last step actually reached: a resume
-        # whose start_step already exceeds STEPS_POSE runs zero steps
-        probe_step=max(start_step, STEPS_POSE),
+        probe_step=probe_step,
         n_leaves=len(pleaves),
         bf16_mask=bf16_mask,
         # np.save cannot round-trip ml_dtypes.bfloat16 descr: store raw u16
         **{f"leaf_{i}": (l.view(np.uint16) if bf16_mask[i] else l)
            for i, l in enumerate(pleaves)},
+        **meta,
     )
-    os.replace(tmp, PARAMS_OUT)
-    print(f"params-only ckpt -> {PARAMS_OUT}", flush=True)
+    os.replace(tmp, path)
+    print(f"params-only ckpt -> {path}", flush=True)
+
+
+if PARAMS_OUT:
+    export_params(
+        PARAMS_OUT,
+        cast_half({"unet": state.unet_params, "vae": state.vae_params}),
+        # the params are at the last step actually reached: a resume
+        # whose start_step already exceeds STEPS_POSE runs zero steps
+        probe_step=max(start_step, STEPS_POSE),
+    )
+
+if BEST_OUT and best["params"] is not None:
+    export_params(
+        BEST_OUT, best["params"], probe_step=best["step"],
+        best_views_top1=best["views_top1"], best_stream=best["stream"],
+    )
+    print(f"best checkpoint: step {best['step']} ({best['stream']}) "
+          f"views top-1 {best['views_top1']}", flush=True)
 
 print("DONE " + json.dumps(history[-1]))
