@@ -43,11 +43,47 @@ def create_train_state(
     )
 
 
+GRAD_TRACE_GROUPS = ("pose_mlp", "cond_mlp", "attn", "conv")
+
+
+def _grad_trace_group(path) -> str:
+    """Map a param-tree path to a diagnostic group.
+
+    Groups follow the U-Net's conditioning anatomy (``models/blocks.py``):
+    the global pose embedding MLP (``pose_mlp``), the per-block
+    conditioning injections (``mlp_dense`` scale/shift Dense +
+    ``mlp_ref`` reference-branch Block), attention (``*_attn`` incl.
+    their qkv/out convs), and everything else (the conv trunk).
+    """
+    s = jax.tree_util.keystr(path)
+    if "pose_mlp" in s:
+        return "pose_mlp"
+    if "mlp_dense" in s or "mlp_ref" in s:
+        return "cond_mlp"
+    if "attn" in s:
+        return "attn"
+    return "conv"
+
+
+def _group_norms(tree, prefix: str) -> Dict[str, jax.Array]:
+    """Per-group L2 norms (plus global) of a gradient/update pytree."""
+    sq = {g: jnp.zeros((), jnp.float32) for g in GRAD_TRACE_GROUPS}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        g = _grad_trace_group(path)
+        sq[g] = sq[g] + jnp.sum(jnp.square(leaf.astype(jnp.float32)))
+    out = {f"{prefix}/{g}": jnp.sqrt(v) for g, v in sq.items()}
+    out[f"{prefix}/global"] = jnp.sqrt(
+        sum(v for v in sq.values())
+    )
+    return out
+
+
 def make_train_step(
     task: PoseConditionalTask,
     tx: optax.GradientTransformation,
     half_precision: bool = False,
     state_shardings: Any = None,
+    grad_trace: bool = False,
 ):
     """Build the jitted train step: state, {dataset: batch} → state', metrics.
 
@@ -69,6 +105,14 @@ def make_train_step(
     scaling is needed (unlike fp16 AMP); the update differs from fp32
     only by bf16 rounding in the matmuls the MXU would run at bf16-class
     precision anyway.
+
+    ``grad_trace`` adds per-parameter-group L2 norms of the RAW
+    gradients (pre-clipping — spike detection wants the unclipped
+    signal) and of the APPLIED updates (post-clip, post-Adam) to the
+    metrics: ``gnorm/{pose_mlp,cond_mlp,attn,conv,global}`` and
+    ``unorm/...``.  Costs a few reductions per step — negligible next
+    to the backward pass; the instrumented runs behind the round-5
+    transient-collapse root-cause live in docs/PERFORMANCE.md.
     """
     from nope_tpu.tasks.pose_conditional import cast_half
 
@@ -99,6 +143,9 @@ def make_train_step(
         unet_params = optax.apply_updates(state.unet_params, updates)
         metrics = {"loss/train_avg": avg}
         metrics.update({f"loss/train_{k}": v for k, v in per_dataset.items()})
+        if grad_trace:
+            metrics.update(_group_norms(grads, "gnorm"))
+            metrics.update(_group_norms(updates, "unorm"))
         new_state = TrainState(
             step=state.step + 1,
             unet_params=unet_params,

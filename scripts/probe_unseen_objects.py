@@ -109,6 +109,14 @@ CLIP = (float(sys.argv[sys.argv.index("--clip") + 1])
 # eval collapses (docs/PERFORMANCE.md) motivated measuring it here.
 EMA = (float(sys.argv[sys.argv.index("--ema") + 1])
        if "--ema" in sys.argv else 0.0)
+# round-5 collapse instrumentation (--trace-grads): per-250-step RAW
+# grad norms and APPLIED update norms per parameter group (pose_mlp /
+# cond_mlp / attn / conv — training/train_state.py grad_trace), plus an
+# on-device running max of the global grad norm BETWEEN prints (a
+# single-step spike cannot hide from the 250-step sampling), plus
+# conditioning-output RMS at eval cadence.  Lines stream to
+# <out>/gradtrace.jsonl
+TRACE = "--trace-grads" in sys.argv
 EVAL_EVERY = _arg("--eval-every", 2000)
 CKPT_EVERY = _arg("--ckpt-every", 2000)  # a 2 GB state fetch over the tunnel
                    # is ~13 min; checkpoint on the eval cadence or coarser
@@ -195,12 +203,13 @@ task = PoseConditionalTask(
 )
 tx = make_optimizer(base_lr=2e-4, warm_up_steps=100, clip_grad_norm=CLIP)
 state = create_train_state(task, tx, jax.random.key(2), image_size=IMG)
-step_fn = make_train_step(task, tx)
+step_fn = make_train_step(task, tx, grad_trace=TRACE)
 
 rng = np.random.default_rng(7)
 history = []
 start_step = 0
 ema_params = None  # set below iff EMA > 0
+_best_resume = None  # restored best-checkpoint tracker (ADVICE round-4)
 
 if os.path.exists(CKPT):
     # resume: leaves in flatten order + numpy batch-stream state
@@ -214,6 +223,21 @@ if os.path.exists(CKPT):
                 jax.tree.structure(state.unet_params),
                 [jnp.asarray(z[f"ema_leaf_{i}"]) for i in range(z["ema_n"])],
             )
+        if "best_n" in z:
+            import ml_dtypes
+            bmask = z["best_bf16_mask"]
+            bl = [jnp.asarray(z[f"best_leaf_{i}"].view(ml_dtypes.bfloat16)
+                              if bmask[i] else z[f"best_leaf_{i}"])
+                  for i in range(int(z["best_n"]))]
+            _best_resume = {
+                "params": jax.tree.unflatten(
+                    jax.tree.structure(
+                        {"unet": state.unet_params, "vae": state.vae_params}),
+                    bl),
+                "step": int(z["best_step"]),
+                "views_top1": float(z["best_views_top1"]),
+                "stream": str(z["best_stream"]),
+            }
     state = jax.tree.unflatten(treedef, [jnp.asarray(l) for l in leaves])
     rng_state["state"] = {k: int(v) for k, v in rng_state["state"].items()}
     rng.bit_generator.state = rng_state
@@ -261,6 +285,19 @@ def save_ckpt(state, probe_step):
         eleaves = [np.asarray(l) for l in jax.tree.leaves(ema_params)]
         extra["ema_n"] = len(eleaves)
         extra.update({f"ema_leaf_{i}": l for i, l in enumerate(eleaves)})
+    if best["params"] is not None:
+        # persist the best-checkpoint tracker: without it a resume would
+        # silently restart selection at "best since resume" while the
+        # export metadata still claimed run-best (round-4 ADVICE)
+        import ml_dtypes
+        bleaves = [np.asarray(l) for l in jax.tree.leaves(best["params"])]
+        bmask = np.asarray(
+            [l.dtype == ml_dtypes.bfloat16 for l in bleaves], bool)
+        extra.update(
+            best_n=len(bleaves), best_bf16_mask=bmask, best_step=best["step"],
+            best_views_top1=best["views_top1"], best_stream=best["stream"],
+            **{f"best_leaf_{i}": (l.view(np.uint16) if bmask[i] else l)
+               for i, l in enumerate(bleaves)})
     tmp = CKPT + ".tmp.npz"
     np.savez(
         tmp,
@@ -300,8 +337,15 @@ Rs_dev = jnp.asarray(np.stack([data[o]["train_R"] for o in TRAIN_IDS]))
 import functools
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def step_indexed(state, views_u8, Rs, objs, vi, vj):
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3), static_argnums=(10,))
+def step_indexed(state, ema, gmax, gmax_step, views_u8, Rs, objs, vi, vj, step,
+                 with_ema):
+    """gmax/gmax_step: running max of the global grad norm (and the
+    step it occurred at) since the last host fetch — accumulated inside
+    the same dispatch so tracing adds zero extra host round-trips.
+    The EMA update is FUSED into the same dispatch (``with_ema``): a
+    separate per-step jitted _ema_step call would pay the ~25 ms tunnel
+    dispatch latency 64k times (~30 min of pure overhead on the v5e)."""
     hi = jax.lax.Precision.HIGHEST
     norm = lambda x: x.astype(jnp.float32) / 255.0 * 2.0 - 1.0
     Rq, Rr = Rs[objs, vi], Rs[objs, vj]
@@ -313,7 +357,14 @@ def step_indexed(state, views_u8, Rs, objs, vi, vj):
         "relativeR": matrix_to_rotation_6d(rel),
         "relativeR_inv": matrix_to_rotation_6d(rel_inv),
     }}
-    return step_fn(state, batch)
+    new_state, metrics = step_fn(state, batch)
+    g = metrics.get("gnorm/global", jnp.zeros((), jnp.float32))
+    gmax_step = jnp.where(g > gmax, step, gmax_step)
+    gmax = jnp.maximum(gmax, g)
+    if with_ema:
+        ema = jax.tree.map(lambda a, b: a * EMA + b * (1.0 - EMA),
+                           ema, new_state.unet_params)
+    return new_state, ema, gmax, gmax_step, metrics
 
 
 # ---------------------------------------------------------------------------
@@ -387,13 +438,54 @@ if EMA and ema_params is None:
     ema_params = jax.tree.map(lambda x: jnp.array(x, copy=True),
                               state.unet_params)
 
-_ema_step = jax.jit(lambda e, p: jax.tree.map(
-    lambda a, b: a * EMA + b * (1.0 - EMA), e, p))
-
 # best-checkpoint tracking (validation group = heldout VIEWS of train
-# objects; heldout OBJECTS stay a pure test group).  The params_h built
-# for the winning eval is itself the device-resident bf16 snapshot.
+# objects; heldout OBJECTS stay a pure test group).  Winning params are
+# DEEP-copied on stash: cast_half passes non-f32 leaves by reference
+# and step_indexed donates the state, so an aliased stash would dangle.
+# save_ckpt persists the tracker (step/metric/stream + bf16 leaves) and
+# resume restores it, so a session death cannot silently reset the
+# best-checkpoint selection to "best since resume".
 best = {"views_top1": float("inf"), "step": -1, "params": None, "stream": ""}
+if _best_resume is not None:
+    best.update(_best_resume)
+    print(f"best-tracker RESUMED: step {best['step']} ({best['stream']}) "
+          f"views top-1 {best['views_top1']}", flush=True)
+
+if TRACE:
+    # conditioning-output RMS on a FIXED probe input (the 4 held-out
+    # objects' reference latents x 4 fixed grid rotations): every
+    # '*mlp*' module's output magnitude, recorded at eval cadence —
+    # the "which representation reorganizes" signal for the transient
+    # collapse (docs/PERFORMANCE.md round-5)
+    _diag_r6 = jnp.asarray(
+        np.asarray(matrix_to_rotation_6d(jnp.asarray(grid341[:4]))), jnp.float32)
+    _diag_lat = None
+
+    def _diag_fn(p, lat, r6):
+        _, st = task.unet.apply(
+            {"params": p}, lat, r6,
+            capture_intermediates=lambda mdl, meth: "mlp" in (mdl.name or ""))
+        return jax.tree.map(
+            lambda x: jnp.sqrt(jnp.mean(jnp.square(x.astype(jnp.float32)))),
+            st["intermediates"])
+
+    _diag_jit = jax.jit(_diag_fn)
+
+    def cond_rms(state):
+        global _diag_lat
+        if _diag_lat is None:
+            imgs = np.stack([data[o]["ref"] for o in HELDOUT_OBJS])
+            _diag_lat = task.encode(
+                {"unet": state.unet_params, "vae": state.vae_params},
+                jnp.asarray(norm_np(imgs)), "mode")
+        rms = jax.tree.map(np.asarray, _diag_jit(state.unet_params, _diag_lat, _diag_r6))
+        flat = jax.tree_util.tree_flatten_with_path(rms)[0]
+        return {jax.tree_util.keystr(p): round(float(v), 5) for p, v in flat}
+
+    gradtrace_f = open(os.path.join(OUT, "gradtrace.jsonl"), "a")
+
+gmax = jnp.zeros((), jnp.float32)
+gmax_step = jnp.zeros((), jnp.int32)
 
 t0 = time.time()
 for step in range(start_step, STEPS_POSE + 1):
@@ -428,18 +520,32 @@ for step in range(start_step, STEPS_POSE + 1):
             candidates.append(("ema", params_e, ev))
         for stream, p, r in candidates:
             if r["top1_median_deg"] < best["views_top1"]:
-                best.update(views_top1=r["top1_median_deg"], step=step,
-                            params=p, stream=stream)
+                best.update(
+                    views_top1=r["top1_median_deg"], step=step, stream=stream,
+                    params=jax.tree.map(lambda x: jnp.array(x, copy=True), p))
+        if TRACE:
+            history[-1]["cond_rms"] = cond_rms(state)
         json.dump(history, open(os.path.join(OUT, "history.json"), "w"), indent=1)
     if step < STEPS_POSE:
-        state, metrics = step_indexed(state, views_dev, Rs_dev, *make_batch(rng))
-        if EMA:
-            ema_params = _ema_step(ema_params, state.unet_params)
+        state, ema_params, gmax, gmax_step, metrics = step_indexed(
+            state, ema_params, gmax, gmax_step, views_dev, Rs_dev,
+            *make_batch(rng), jnp.asarray(step, jnp.int32), bool(EMA))
         if (step + 1) % CKPT_EVERY == 0:
             save_ckpt(state, step + 1)
         if step % 250 == 0:
             print(f"step {step}: loss={float(metrics['loss/train_avg']):.4f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
+            if TRACE:
+                rec = {"step": step,
+                       "loss": round(float(metrics["loss/train_avg"]), 4),
+                       "gmax_since_last": round(float(gmax), 4),
+                       "gmax_step": int(gmax_step)}
+                rec.update({k: round(float(v), 5) for k, v in metrics.items()
+                            if k.startswith(("gnorm/", "unorm/"))})
+                gradtrace_f.write(json.dumps(rec) + "\n")
+                gradtrace_f.flush()
+                gmax = jnp.zeros((), jnp.float32)
+                gmax_step = jnp.zeros((), jnp.int32)
 
 def export_params(path, params_h, probe_step, **meta):
     import ml_dtypes
