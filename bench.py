@@ -274,22 +274,57 @@ def main():
         baseline_provenance = f"frozen {frozen['measured']}"
     mode = "bf16 streaming" if args.full else (
         "fp32" if args.fp32_only else "bf16")
-    print(
-        json.dumps(
-            {
-                "metric": "query+scoring images/sec/chip "
-                          f"({mode}, N={n_templates} templates, batch={opt_batch})",
-                "value": round(imgs_per_sec, 4),
-                "unit": "images/sec",
-                "vs_baseline": round(imgs_per_sec / base_imgs_per_sec, 3),
-                "fp32_images_per_sec": (
-                    None if t_fp32 is None else round(fp32_batch / t_fp32, 4)),
-                "baseline_images_per_sec": round(base_imgs_per_sec, 4),
-                "baseline_provenance": baseline_provenance,
-                "backend": jax.default_backend(),
-            }
-        )
-    )
+    result = {
+        "metric": "query+scoring images/sec/chip "
+                  f"({mode}, N={n_templates} templates, batch={opt_batch})",
+        "value": round(imgs_per_sec, 4),
+        "unit": "images/sec",
+        "vs_baseline": round(imgs_per_sec / base_imgs_per_sec, 3),
+        "fp32_images_per_sec": (
+            None if t_fp32 is None else round(fp32_batch / t_fp32, 4)),
+        "baseline_images_per_sec": round(base_imgs_per_sec, 4),
+        "baseline_provenance": baseline_provenance,
+        "backend": jax.default_backend(),
+    }
+
+    if not args.full and not args.fp32_only and not args.tiny:
+        # The default (driver-captured) run also measures the FULL
+        # 341-template streaming protocol — the shape the paper
+        # evaluates — so every round's BENCH json pins BOTH headline
+        # ratios against their frozen denominators without a hand-run
+        # of --full (round-4 verdict: the 17.1x ratio lived only in
+        # docs).  Skipped in --tiny (CPU smoke keeps its compile budget)
+        # where --full --tiny covers the streaming path separately.
+        (task_f, params_f, reference_f, query_f, bank_R_f, _,
+         _) = build(False, True)
+        # chunk 31 divides 341 evenly; the fallback only fires under
+        # test monkeypatching where build is forced tiny (N=12 -> 4)
+        n_full = int(bank_R_f.shape[1])
+        chunk_f = 31 if n_full % 31 == 0 else max(1, n_full // 3)
+
+        @jax.jit
+        def optimized_full_d(params, reference, query, bank_R):
+            reference, query, bank_R = (
+                x.astype(jnp.bfloat16) for x in (reference, query, bank_R)
+            )
+            return task_f.retrieve_streaming(
+                params, query, reference, bank_R, chunk_size=chunk_f)
+
+        t_full = time_fn(optimized_full_d, cast_half(params_f), reference_f,
+                         query_f, bank_R_f, iters=args.iters)
+        full_ips = bank_R_f.shape[0] / t_full
+        result["full_protocol"] = {
+            "images_per_sec": round(full_ips, 4),
+            "vs_baseline": round(
+                full_ips / FROZEN_BASELINE_FULL["images_per_sec"], 3),
+            "n_templates": int(bank_R_f.shape[1]),
+            "batch": int(bank_R_f.shape[0]),
+            "baseline_images_per_sec": FROZEN_BASELINE_FULL["images_per_sec"],
+            "baseline_provenance":
+                f"frozen {FROZEN_BASELINE_FULL['measured']}",
+        }
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
