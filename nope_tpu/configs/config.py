@@ -33,6 +33,12 @@ class OptimConfig:
     # none).  The unclipped recipe loss-spiked and lost retrieval on the
     # round-3 64-object probe — set ~1.0 for diverse training sets.
     clip_grad_norm: float = 0.0
+    # parameter EMA decay; 0 = off (reference parity: the EMA class in
+    # model_utils.py:175-195 exists but the NOPE recipe never calls it).
+    # >0 maintains ema <- beta*ema + (1-beta)*params FUSED into the
+    # jitted train step and evaluates/checkpoints the EMA stream
+    # alongside the instantaneous one (trainer.py).
+    ema_decay: float = 0.0
 
 
 @dataclass
@@ -115,6 +121,14 @@ class TrainerConfig:
     num_sanity_val_steps: int = 2
     media_every_n_steps: int = 1000  # reconstruction grids (0 = off)
     seed: int = 2022
+    # monitored best-checkpoint selection (the reference's
+    # ModelCheckpoint monitor/mode knobs, configs/callback/checkpoint/
+    # base.yaml:5-7): when set to a key of the val_fn score dict, every
+    # validation pass that improves it exports a params-only snapshot to
+    # <save_dir>/checkpoints/best (+ best.json metadata).  With EMA on,
+    # both the instantaneous and EMA streams compete for "best".
+    monitor: str = ""
+    monitor_mode: str = "min"  # "min" (errors) or "max" (accuracies)
 
 
 @dataclass

@@ -39,9 +39,19 @@ class CheckpointManager:
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
-    def save(self, step: int, state: TrainState, force: bool = False) -> bool:
+    def save(
+        self, step: int, state: TrainState, force: bool = False,
+        ema_params: Any = None,
+    ) -> bool:
+        """``ema_params`` (optional) rides in the same checkpoint under
+        an ``ema_params`` key, so an EMA-enabled run resumes its EMA
+        stream exactly; omitting it keeps the layout of pre-EMA
+        checkpoints byte-compatible."""
+        d = state._asdict()
+        if ema_params is not None:
+            d["ema_params"] = ema_params
         saved = self._mgr.save(
-            step, args=ocp.args.StandardSave(state._asdict()), force=force
+            step, args=ocp.args.StandardSave(d), force=force
         )
         return bool(saved)
 
@@ -52,10 +62,46 @@ class CheckpointManager:
         step = self._mgr.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {self.directory}")
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(state_template._asdict())
-        )
+        template = state_template._asdict()
+        try:
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template)
+            )
+        except ValueError:
+            # EMA checkpoint read without EMA: StandardRestore requires
+            # the template to match the stored tree exactly in BOTH
+            # directions (and item_metadata cannot introspect a
+            # StandardSave from a fresh manager), so retry with the EMA
+            # stream in the template and discard it.  A genuinely
+            # corrupt/foreign layout still fails on this second,
+            # exact-match attempt.
+            template = dict(template, ema_params=state_template.unet_params)
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template)
+            )
+        restored.pop("ema_params", None)
         return TrainState(**restored)
+
+    def restore_with_ema(
+        self, state_template: TrainState, ema_template: Any,
+        step: Optional[int] = None,
+    ):
+        """(state, ema_params) from a checkpoint saved with
+        ``ema_params``; ``(state, None)`` when resuming an EMA-enabled
+        run from a pre-EMA checkpoint (the caller seeds a fresh EMA)."""
+        step = self._mgr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        template = state_template._asdict()
+        template["ema_params"] = ema_template
+        try:
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template)
+            )
+        except ValueError:  # pre-EMA layout on disk
+            return self.restore(state_template, step=step), None
+        ema = restored.pop("ema_params")
+        return TrainState(**restored), ema
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()

@@ -84,6 +84,7 @@ def make_train_step(
     half_precision: bool = False,
     state_shardings: Any = None,
     grad_trace: bool = False,
+    ema_decay: float = 0.0,
 ):
     """Build the jitted train step: state, {dataset: batch} → state', metrics.
 
@@ -106,6 +107,14 @@ def make_train_step(
     only by bf16 rounding in the matmuls the MXU would run at bf16-class
     precision anyway.
 
+    ``ema_decay`` > 0 changes the signature to
+    ``(state, batches, ema_params) → (state', metrics, ema_params')``
+    with the EMA update (ema ← β·ema + (1−β)·params', the reference's
+    ``model_utils.py:175-195`` semantics on the POST-update params)
+    fused into the same dispatch — a separate per-step jitted EMA call
+    would double the per-step host dispatch count, which on a
+    ~25 ms-latency tunnelled TPU costs ~30 min per 64k steps.
+
     ``grad_trace`` adds per-parameter-group L2 norms of the RAW
     gradients (pre-clipping — spike detection wants the unclipped
     signal) and of the APPLIED updates (post-clip, post-Adam) to the
@@ -126,19 +135,28 @@ def make_train_step(
             lambda x: x.astype(jnp.float32), per_dataset
         )
 
-    jit_kwargs = {}
+    _grads_replicated = None
     if state_shardings is not None:
-        # metrics sharding stays None (= let GSPMD choose; they are
-        # scalars, effectively replicated)
-        jit_kwargs["out_shardings"] = (state_shardings, None)
+        # Constraint barrier at the grads boundary: without it GSPMD
+        # propagates the ZeRO-sharded moment layout UP through tx.update
+        # into the attention backward (qkv concat/split transpose ops),
+        # where it cannot reconcile with the batch-sharded activations
+        # and falls back to "involuntary full rematerialization" —
+        # replicate-then-reshard on every step (round-4 verdict #4,
+        # MULTICHIP_r04.json tail).  Post-psum data-parallel grads are
+        # replicated anyway, so pinning that here is free; the
+        # replicated→sharded hop into the moment update is a local slice.
+        _mesh = jax.tree.leaves(state_shardings)[0].mesh
+        _grads_replicated = jax.sharding.NamedSharding(
+            _mesh, jax.sharding.PartitionSpec()
+        )
 
-    @functools.partial(jax.jit, donate_argnums=(0,), **jit_kwargs)
-    def train_step(
-        state: TrainState, batches: Dict[str, Dict[str, jax.Array]]
-    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    def _step_core(state, batches):
         (avg, per_dataset), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.unet_params, state.vae_params, batches
         )
+        if _grads_replicated is not None:
+            grads = jax.lax.with_sharding_constraint(grads, _grads_replicated)
         updates, opt_state = tx.update(grads, state.opt_state, state.unet_params)
         unet_params = optax.apply_updates(state.unet_params, updates)
         metrics = {"loss/train_avg": avg}
@@ -153,5 +171,39 @@ def make_train_step(
             opt_state=opt_state,
         )
         return new_state, metrics
+
+    jit_kwargs = {}
+    if ema_decay:
+        if state_shardings is not None:
+            # EMA params live replicated like the master params
+            jit_kwargs["out_shardings"] = (
+                state_shardings, None, _grads_replicated
+            )
+
+        @functools.partial(jax.jit, donate_argnums=(0, 2), **jit_kwargs)
+        def train_step_ema(
+            state: TrainState,
+            batches: Dict[str, Dict[str, jax.Array]],
+            ema_params: Any,
+        ) -> Tuple[TrainState, Dict[str, jax.Array], Any]:
+            new_state, metrics = _step_core(state, batches)
+            new_ema = jax.tree.map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                ema_params, new_state.unet_params,
+            )
+            return new_state, metrics, new_ema
+
+        return train_step_ema
+
+    if state_shardings is not None:
+        # metrics sharding stays None (= let GSPMD choose; they are
+        # scalars, effectively replicated)
+        jit_kwargs["out_shardings"] = (state_shardings, None)
+
+    @functools.partial(jax.jit, donate_argnums=(0,), **jit_kwargs)
+    def train_step(
+        state: TrainState, batches: Dict[str, Dict[str, jax.Array]]
+    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        return _step_core(state, batches)
 
     return train_step

@@ -161,10 +161,17 @@ class Trainer:
                 )
             )
             self._state_shardings = zero1_state_shardings(state_shape, self.mesh)
+        # parameter EMA (optim_config.ema_decay > 0): the update is
+        # fused into the jitted step — see make_train_step(ema_decay=)
+        self.ema_decay = float(
+            getattr(cfg.model.optim_config, "ema_decay", 0.0) or 0.0
+        )
+        self.ema_params = None  # populated by init_state when enabled
         self.train_step = make_train_step(
             task, self.tx,
             half_precision=getattr(cfg.model.optim_config, "half_precision_train", False),
             state_shardings=self._state_shardings,
+            ema_decay=self.ema_decay,
         )
         user = getattr(cfg, "user", None)
         self.logger = MetricLogger(
@@ -181,6 +188,22 @@ class Trainer:
         # reconstruction grids every N steps (model.py:141-166 media
         # logging analogue); 0 disables
         self.media_every_n_steps = getattr(cfg.trainer, "media_every_n_steps", 1000)
+        # monitored best-checkpoint selection (ModelCheckpoint monitor/
+        # mode, configs/callback/checkpoint/base.yaml:5-7).  The tracker
+        # persists in best.json so a resumed run keeps selecting against
+        # the whole-run best, not "best since resume".
+        self.monitor = getattr(cfg.trainer, "monitor", "") or ""
+        self.monitor_mode = getattr(cfg.trainer, "monitor_mode", "min")
+        self._best = {"value": None, "step": -1, "stream": ""}
+        self._best_json = os.path.join(cfg.save_dir, "checkpoints", "best.json")
+        if self.monitor and os.path.exists(self._best_json):
+            with open(self._best_json) as f:
+                self._best = json.load(f)
+            logging.info(
+                "best-checkpoint tracker resumed: %s=%s at step %s (%s)",
+                self.monitor, self._best["value"], self._best["step"],
+                self._best["stream"],
+            )
 
     def _log_media(self, state: TrainState, batches, step: int) -> None:
         """Save a reference | query | prediction comparison grid for the
@@ -214,6 +237,48 @@ class Trainer:
         except Exception as e:  # media logging must never kill training
             logging.warning("media logging failed: %s", e)
 
+    def _update_best(self, step: int, streams) -> None:
+        """Monitored best-checkpoint selection: if any stream improves
+        ``cfg.trainer.monitor``, export its params (unet + frozen vae)
+        to <save_dir>/checkpoints/best and persist the tracker in
+        best.json (so resume keeps the WHOLE-run best).  Reference:
+        ModelCheckpoint monitor/mode, configs/callback/checkpoint/
+        base.yaml:5-7."""
+        sign = -1.0 if self.monitor_mode == "max" else 1.0
+        winner = None
+        for stream, st, scores in streams:
+            if self.monitor not in scores:
+                logging.warning(
+                    "monitor key %r missing from val scores %s",
+                    self.monitor, sorted(scores),
+                )
+                continue
+            v = float(scores[self.monitor])
+            best_v = self._best["value"]
+            cur = sign * v
+            if best_v is None or cur < sign * float(best_v):
+                self._best = {"value": v, "step": step, "stream": stream}
+                winner = st
+        if winner is None:
+            return
+        from nope_tpu.training.checkpoint import save_params
+
+        best_dir = os.path.join(self.cfg.save_dir, "checkpoints", "best")
+        save_params(
+            best_dir,
+            jax.device_get(
+                {"unet": winner.unet_params, "vae": winner.vae_params}
+            ),
+            overwrite=True,
+        )
+        with open(self._best_json, "w") as f:
+            json.dump({**self._best, "monitor": self.monitor}, f)
+        logging.info(
+            "best checkpoint updated: %s=%s at step %d (%s) -> %s",
+            self.monitor, self._best["value"], step, self._best["stream"],
+            best_dir,
+        )
+
     # -- state ------------------------------------------------------------
 
     def init_state(self, resume: bool = True) -> TrainState:
@@ -221,15 +286,37 @@ class Trainer:
             self.task, self.tx, jax.random.key(self.cfg.trainer.seed),
             image_size=self.cfg.model.img_size,
         )
+        ema = None
         if resume and self.ckpt.latest_step() is not None:
             logging.info("resuming from step %s", self.ckpt.latest_step())
-            state = self.ckpt.restore(state)
-        return jax.device_put(
+            if self.ema_decay:
+                state, ema = self.ckpt.restore_with_ema(state, state.unet_params)
+                if ema is None:
+                    logging.warning(
+                        "checkpoint has no EMA stream (pre-EMA run?); "
+                        "seeding EMA from the restored params"
+                    )
+            else:
+                state = self.ckpt.restore(state)
+        state = jax.device_put(
             state,
             self._state_shardings
             if self._state_shardings is not None
             else replicate(self.mesh),
         )
+        if self.ema_decay:
+            if ema is None:
+                # fresh stream seeded from the current params; must be a
+                # REAL copy — the jitted step donates BOTH the state and
+                # the EMA buffers, and an aliased seed would be donated
+                # twice on the first step
+                import jax.numpy as jnp
+
+                ema = jax.tree.map(
+                    lambda x: jnp.array(x, copy=True), state.unet_params
+                )
+            self.ema_params = jax.device_put(ema, replicate(self.mesh))
+        return state
 
     # -- loop ------------------------------------------------------------
 
@@ -272,7 +359,12 @@ class Trainer:
             for batches in device_prefetch(
                 map(shard, iter(self.combined)), sharding=None, depth=2
             ):
-                state, metrics = self.train_step(state, batches)
+                if self.ema_decay:
+                    state, metrics, self.ema_params = self.train_step(
+                        state, batches, self.ema_params
+                    )
+                else:
+                    state, metrics = self.train_step(state, batches)
                 step = int(state.step)
 
                 if step % cfg.trainer.log_every_n_steps == 0:
@@ -286,7 +378,11 @@ class Trainer:
                     self.logger.log(step, metrics)
 
                 if step % cfg.trainer.checkpoint_every_n_steps == 0:
-                    self.ckpt.save(step, jax.device_get(state))
+                    self.ckpt.save(
+                        step, jax.device_get(state),
+                        ema_params=(jax.device_get(self.ema_params)
+                                    if self.ema_decay else None),
+                    )
 
                 if (
                     self.media_every_n_steps
@@ -297,6 +393,19 @@ class Trainer:
                 if self.val_fn is not None and step % cfg.trainer.val_check_interval == 0:
                     scores = self.val_fn(state)
                     self.logger.log(step, {f"val/{k}": v for k, v in scores.items()})
+                    streams = [("inst", state, scores)]
+                    if self.ema_decay:
+                        # EMA stream evaluated alongside (diffusion-eval
+                        # convention); _replace only aliases, read-only
+                        ema_state = state._replace(unet_params=self.ema_params)
+                        ema_scores = self.val_fn(ema_state)
+                        self.logger.log(
+                            step,
+                            {f"val_ema/{k}": v for k, v in ema_scores.items()},
+                        )
+                        streams.append(("ema", ema_state, ema_scores))
+                    if self.monitor:
+                        self._update_best(step, streams)
 
                 if step >= max_steps:
                     break

@@ -274,6 +274,13 @@ else:
         if step % 100 == 0 or step == STEPS_VAE - 1:
             print(f"vae step {step}: recon={float(vmetrics['recon']):.4f}", flush=True)
     state = state._replace(vae_params=vstate.params)
+    # Free stage-1 device memory before stage 2: at 512 objects vae_dev
+    # is ~3.3 GB of uint8 (33 views x 512 objects) that the pose loop
+    # never touches — leaving it resident is what OOMed the first
+    # --ema 64k launch (EMA copy + best stash pushed the static set
+    # past the 16 GB HBM).  The jit cache keeps the compiled vstep
+    # executable alive but not the donated buffers.
+    del vae_dev, vstate, vmetrics, vstep_idx, vae_imgs
 
 
 def save_ckpt(state, probe_step):
@@ -523,6 +530,9 @@ for step in range(start_step, STEPS_POSE + 1):
                 best.update(
                     views_top1=r["top1_median_deg"], step=step, stream=stream,
                     params=jax.tree.map(lambda x: jnp.array(x, copy=True), p))
+        # drop the bf16 eval copies before training resumes: two ~250 MB
+        # param trees held across 2000 train steps is pure HBM waste
+        params_h = params_e = candidates = None
         if TRACE:
             history[-1]["cond_rms"] = cond_rms(state)
         json.dump(history, open(os.path.join(OUT, "history.json"), "w"), indent=1)
