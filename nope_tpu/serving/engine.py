@@ -229,16 +229,37 @@ class PoseEstimator:
             lambda parts: jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
         )
 
-        def _build_refine_program(steps: int, lr: float, objective: str):
-            """Score + continuous top-1 refinement as ONE device program
+        def _make_refiner(steps: int, lr: float, objective: str, topk: int):
+            """topk == 1: single-start refine from the retrieved top-1.
+            topk > 1: multi-start from the top-K retrieved poses in one
+            K×-wider batched program, keeping the per-query winner by
+            final latent objective (tasks/refinement.py
+            make_multistart_refiner — hedges the init-policy dependence
+            documented in docs/PERFORMANCE.md round-4)."""
+            from nope_tpu.tasks.refinement import (
+                make_multistart_refiner, make_pose_refiner,
+            )
+
+            if topk > 1:
+                multi = make_multistart_refiner(
+                    task, steps=steps, lr=lr, objective=objective
+                )
+                return lambda p, q, r, iR: multi(p, q, r, iR)[0]
+            single = make_pose_refiner(
+                task, steps=steps, lr=lr, objective=objective
+            )
+            # single-start consumes (B, 1, 3, 3) for a uniform interface
+            return lambda p, q, r, iR: single(p, q, r, iR[:, 0])[0]
+
+        def _build_refine_program(
+            steps: int, lr: float, objective: str, topk: int = 1
+        ):
+            """Score + continuous top-K refinement as ONE device program
             (encode → retrieval → ``tasks.refinement`` gradient loop):
             the per-dispatch latency cost of refinement is zero."""
             from nope_tpu.geometry.rotations import rotation_6d_to_matrix
-            from nope_tpu.tasks.refinement import make_pose_refiner
 
-            refiner = make_pose_refiner(
-                task, steps=steps, lr=lr, objective=objective
-            )
+            refiner = _make_refiner(steps, lr, objective, topk)
 
             def run(p, q, bank, ref_lat, bank_rep):
                 q_lat = task.encode(p, _norm(q), "mode")
@@ -254,30 +275,28 @@ class PoseEstimator:
                 # stored flat: reps (N·dim,), ref latent (1, h·w·C)
                 rep = bank_rep.reshape(self.num_templates, -1)
                 init_R = rotation_6d_to_matrix(
-                    rep[idx[:, 0]].astype(jnp.float32)
-                )
+                    rep[idx[:, :topk]].astype(jnp.float32)
+                )  # (B, K, 3, 3)
                 ref_lat = ref_lat.reshape((1,) + self._latent_hwc)
                 ref_b = jnp.broadcast_to(
                     ref_lat, (q_lat.shape[0],) + ref_lat.shape[1:]
                 )
-                R_hat, _ = refiner(p, q_lat, ref_b, init_R)
-                return sim, idx, R_hat
+                return sim, idx, refiner(p, q_lat, ref_b, init_R)
 
             return jax.jit(run)
 
         self._build_refine_program = _build_refine_program
 
-        def _build_refine_many_program(steps: int, lr: float, objective: str):
+        def _build_refine_many_program(
+            steps: int, lr: float, objective: str, topk: int = 1
+        ):
             """The :meth:`estimate_many` variant: per-query gathers over
             the unique-object stacks (banks, reference latents,
             conditioning reps) happen on device, then score + refine in
             the same single program."""
             from nope_tpu.geometry.rotations import rotation_6d_to_matrix
-            from nope_tpu.tasks.refinement import make_pose_refiner
 
-            refiner = make_pose_refiner(
-                task, steps=steps, lr=lr, objective=objective
-            )
+            refiner = _make_refiner(steps, lr, objective, topk)
 
             def run(p, q, banks, inv, ref_lats, bank_reps):
                 q_lat = task.encode(p, _norm(q), "mode")
@@ -291,14 +310,13 @@ class PoseEstimator:
                 )  # (B, N, dim)
                 init_R = rotation_6d_to_matrix(
                     jnp.take_along_axis(
-                        rep_b, idx[:, :1, None], axis=1
-                    )[:, 0].astype(jnp.float32)
-                )
+                        rep_b, idx[:, :topk, None], axis=1
+                    ).astype(jnp.float32)
+                )  # (B, K, 3, 3)
                 ref_b = jnp.take(ref_lats, inv, axis=0).reshape(
                     (inv.shape[0],) + self._latent_hwc
                 )  # (B, h, w, C)
-                R_hat, _ = refiner(p, q_lat, ref_b, init_R)
-                return sim, idx, R_hat
+                return sim, idx, refiner(p, q_lat, ref_b, init_R)
 
             return jax.jit(run)
 
@@ -307,6 +325,15 @@ class PoseEstimator:
     @property
     def num_templates(self) -> int:
         return len(self.template_poses)
+
+    def _check_topk(self, topk: int) -> None:
+        k = int(getattr(self.task.config, "retrieval_k", 5))
+        if not 1 <= int(topk) <= k:
+            raise ValueError(
+                f"refine_topk={topk} outside [1, {k}] (retrieval returns "
+                f"the top-{k} templates; raise task config retrieval_k "
+                "for wider multi-start)"
+            )
 
     def _pin_latent_hwc(self, image_hw) -> None:
         """Pin the dense latent geometry (h, w, C) that flat-stored
@@ -551,11 +578,16 @@ class PoseEstimator:
         refine_steps: int = 0,
         refine_lr: float = 2e-2,
         refine_objective: str = "l2",
+        refine_topk: int = 1,
     ) -> PoseEstimate:
         """Score (B, H, W, 3) query images against the object's bank.
 
         ``refine_steps`` > 0 additionally runs gradient pose refinement
         (:mod:`nope_tpu.tasks.refinement`) from the retrieved top-1 —
+        or, with ``refine_topk`` > 1, multi-start from the top-K
+        retrieved poses keeping the per-query winner by final latent
+        objective (a K×-wider batch in the same program; hedges the
+        checkpoint-dependent init policy, docs/PERFORMANCE.md round-4) —
         encode, retrieval, and the refinement loop fuse into ONE device
         program, and the result is a CONTINUOUS ΔR instead of a
         grid-snapped one (``refined_relative_rotation`` /
@@ -577,7 +609,9 @@ class PoseEstimator:
                 f"object {object_id!r} was loaded from a registry without "
                 "reference latents; re-register it to enable refinement"
             )
-        key = (int(refine_steps), float(refine_lr), refine_objective)
+        self._check_topk(refine_topk)
+        key = (int(refine_steps), float(refine_lr), refine_objective,
+               int(refine_topk))
         fn = self._refine_cache.get(key)
         if fn is None:
             fn = self._refine_cache[key] = self._build_refine_program(*key)
@@ -599,6 +633,7 @@ class PoseEstimator:
         refine_steps: int = 0,
         refine_lr: float = 2e-2,
         refine_objective: str = "l2",
+        refine_topk: int = 1,
     ) -> PoseEstimate:
         """Mixed-object batched estimation: query i is scored against the
         bank of ``object_ids[i]``, all in ONE device program — a
@@ -651,11 +686,14 @@ class PoseEstimator:
             )  # (M, h, w, C)
             reps = jnp.stack([self._bank_reps[oid] for oid in uniq])
             self._stacked_refine_cache = (key, (ref_lats, reps))
-        prog_key = ("many", int(refine_steps), float(refine_lr), refine_objective)
+        self._check_topk(refine_topk)
+        prog_key = ("many", int(refine_steps), float(refine_lr),
+                    refine_objective, int(refine_topk))
         fn = self._refine_cache.get(prog_key)
         if fn is None:
             fn = self._refine_cache[prog_key] = self._build_refine_many_program(
-                int(refine_steps), float(refine_lr), refine_objective
+                int(refine_steps), float(refine_lr), refine_objective,
+                int(refine_topk),
             )
         sim, idx, rel_hat = fn(self.params, queries, stacked, inv, ref_lats, reps)
         rel_hat = np.asarray(rel_hat, np.float32)

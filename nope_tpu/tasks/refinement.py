@@ -144,6 +144,52 @@ def make_pose_refiner(
     return refine
 
 
+def make_multistart_refiner(
+    task,
+    steps: int = 24,
+    lr: float = 2e-2,
+    objective: str = "l2",
+):
+    """Build ``refine_multi(params, query_latent, reference_latent,
+    init_Rs)``: refine from K inits per query in ONE batched program and
+    keep, per query, the pose with the lowest final latent objective.
+
+    ``init_Rs``: (B, K, 3, 3) — typically the retrieved top-K grid
+    poses.  Returns ``(refined_R, distance, selected)``: (B, 3, 3)
+    rotations, the (B,) winning latent distances, and the (B,) index of
+    the winning start.
+
+    Why: single-init refinement is policy-dependent — round-4 hardware
+    sweeps (docs/PERFORMANCE.md) showed WHICH init wins (fast-26 top-1
+    vs full-341 top-1) flips with the checkpoint's ranking quality.
+    Multi-start from the top-K hedges that choice inside one compiled
+    program: the K starts ride the batch axis, so the cost is one
+    K×-wider refinement instead of K dispatches.  The reference computes
+    ``topk(k=5)`` (``src/model/model.py:254-266``) but only uses it for
+    metrics; here the top-K becomes the hedge.
+    """
+    refiner = make_pose_refiner(task, steps=steps, lr=lr, objective=objective)
+
+    def refine_multi(
+        params, query_latent: jax.Array, reference_latent: jax.Array,
+        init_Rs: jax.Array,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        B, K = init_Rs.shape[0], init_Rs.shape[1]
+        # repeat([q0, q1], K) = [q0·K, q1·K] matches reshape(B·K) of the
+        # (B, K, ...) init block, so start (b, k) refines query b
+        rep = lambda x: jnp.repeat(x, K, axis=0)
+        refined, d = refiner(
+            params, rep(query_latent), rep(reference_latent),
+            init_Rs.reshape(B * K, 3, 3),
+        )
+        d = d.reshape(B, K)
+        sel = jnp.argmin(d, axis=1)
+        b = jnp.arange(B)
+        return refined.reshape(B, K, 3, 3)[b, sel], d[b, sel], sel
+
+    return refine_multi
+
+
 def refine_pose(
     task,
     params,

@@ -98,6 +98,53 @@ def test_refiner_recovers_perturbed_pose(tiny_task):
     assert np.all(np.asarray(dist) <= d_init + 1e-7)
 
 
+def test_multistart_refiner_selects_best_start(tiny_task):
+    """make_multistart_refiner must equal a per-start single refine
+    followed by an argmin over the final objective — refining from
+    {near, medium, far} inits, the winner is the per-query best start,
+    never worse than any single policy."""
+    from nope_tpu.tasks.refinement import make_multistart_refiner
+
+    task, params = tiny_task
+    B, K = 4, 3
+    ref_lat = jax.random.normal(jax.random.key(5), (B, IMG // 8, IMG // 8, 4)) * 0.3
+    R_true = random_rotations(jax.random.key(6), B)
+    target = task.predict_latent(params, ref_lat, matrix_to_rotation_6d(R_true))
+
+    inits = jnp.stack(
+        [
+            small_rotation(jax.random.key(7), B, 10.0) @ R_true,
+            small_rotation(jax.random.key(8), B, 60.0) @ R_true,
+            random_rotations(jax.random.key(9), B),
+        ],
+        axis=1,
+    )  # (B, K, 3, 3)
+
+    single = make_pose_refiner(task, steps=30, lr=2e-2)
+    multi = make_multistart_refiner(task, steps=30, lr=2e-2)
+
+    R_multi, d_multi, sel = jax.jit(multi)(params, target, ref_lat, inits)
+    per_start = [
+        jax.jit(single)(params, target, ref_lat, inits[:, k]) for k in range(K)
+    ]
+    d_all = np.stack([np.asarray(d) for _, d in per_start], axis=1)  # (B, K)
+
+    # winner = per-query argmin over starts (same refiner, batched)
+    np.testing.assert_allclose(
+        np.asarray(d_multi), d_all.min(axis=1), rtol=1e-4, atol=1e-7
+    )
+    assert np.array_equal(np.asarray(sel), d_all.argmin(axis=1))
+    for b in range(B):
+        np.testing.assert_allclose(
+            np.asarray(R_multi)[b],
+            np.asarray(per_start[int(np.asarray(sel)[b])][0])[b],
+            atol=1e-5,
+        )
+    # valid rotations out
+    RtR = np.einsum("bji,bjk->bik", np.asarray(R_multi), np.asarray(R_multi))
+    np.testing.assert_allclose(RtR, np.eye(3)[None].repeat(B, 0), atol=1e-5)
+
+
 def test_refinement_beats_grid_retrieval_on_trained_model(tmp_path_factory):
     """End-to-end: train the tiny pipeline on procedural renders (the
     test_learning recipe, but a symmetry-free category so the full

@@ -373,6 +373,39 @@ def test_estimate_with_refinement(estimator, rng):
     estimator.deregister_object("refine_me")
 
 
+def test_estimate_with_multistart_refinement(estimator, rng):
+    """refine_topk>1 multi-starts from the top-K retrieved poses inside
+    the same one-dispatch program: valid rotations out, grid outputs
+    unchanged, estimate/estimate_many agree, and out-of-range K is
+    rejected up front."""
+    ref = rng.uniform(-1, 1, (IMG, IMG, 3)).astype(np.float32)
+    estimator.register_object("multistart", ref)
+    q = rng.uniform(-1, 1, (2, IMG, IMG, 3)).astype(np.float32)
+
+    plain = estimator.estimate("multistart", q)
+    out = estimator.estimate(
+        "multistart", q, refine_steps=6, refine_lr=2e-2, refine_topk=3
+    )
+    r = out.refined_relative_rotation
+    assert r.shape == (2, 3, 3)
+    RtR = np.einsum("bji,bjk->bik", r, r)
+    np.testing.assert_allclose(RtR, np.eye(3)[None].repeat(2, 0), atol=1e-4)
+    np.testing.assert_array_equal(out.nearest_idx, plain.nearest_idx)
+
+    # the batched-gallery path runs the same multi-start per query
+    many = estimator.estimate_many(
+        ["multistart", "multistart"], q,
+        refine_steps=6, refine_lr=2e-2, refine_topk=3,
+    )
+    np.testing.assert_allclose(
+        many.refined_relative_rotation, r, atol=2e-5
+    )
+
+    with pytest.raises(ValueError, match="refine_topk"):
+        estimator.estimate("multistart", q, refine_steps=6, refine_topk=99)
+    estimator.deregister_object("multistart")
+
+
 def test_refinement_state_survives_registry_roundtrip(estimator, rng, tmp_path):
     """save_registry persists the reference latents + conditioning reps,
     so a reloaded serving process can still refine; registries written
