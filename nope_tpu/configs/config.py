@@ -162,6 +162,11 @@ class DatasetConfig:
     fast_evaluation: bool = True
     load_gt_templates: bool = False  # template images for visualization only
     native_preprocess: bool = False  # C++ fused batch composite+warp (training)
+    # training-item image wire format: "float32" (normalized [-1,1] on
+    # the host, the reference's convention) or "uint8" (raw crops over
+    # the wire, normalized on device inside the jitted step — 4x less
+    # host->device traffic; mirrors serving's uint8 convention).
+    wire_dtype: str = "float32"
     # BOP extras
     template_dir: Optional[str] = None
     obj_ids: Optional[str] = None

@@ -22,6 +22,7 @@ def build_dataset(cfg: DatasetConfig):
             fast_evaluation=cfg.fast_evaluation,
             img_size=cfg.img_size,
             load_gt_templates=cfg.load_gt_templates,
+            wire_dtype=getattr(cfg, "wire_dtype", "float32"),
         )
     if cfg.name == "objaverse":
         from nope_tpu.data.objaverse import ObjaverseDataset
@@ -109,6 +110,16 @@ def build_train_loaders(cfg: ExperimentConfig) -> Dict[str, DataLoader]:
             )
         use_grain = loader_kind == "grain"
         collate_fn = post_batch_fn = None
+        if (
+            ds_cfg.native_preprocess
+            and getattr(ds_cfg, "wire_dtype", "float32") == "uint8"
+        ):
+            # the C++ fused path bakes normalization into its output;
+            # the uint8 wire wants it deferred to the device
+            raise ValueError(
+                "native_preprocess and wire_dtype='uint8' are mutually "
+                "exclusive (the native batch op emits normalized f32)"
+            )
         if ds_cfg.native_preprocess and name == "shapeNet":
             from nope_tpu.data.shapenet import NativeCollateView
 

@@ -100,6 +100,7 @@ class ShapeNetDataset:
         level: int = 2,
         seed: int = _SPLIT_SEED,
         load_gt_templates: bool = False,
+        wire_dtype: str = "float32",
     ):
         self.root_dir = root_dir
         self.split = split
@@ -108,6 +109,13 @@ class ShapeNetDataset:
         self.fast_evaluation = fast_evaluation
         self.img_size = img_size
         self.level = level
+        # "uint8": TRAINING items ship raw uint8 crops; the jitted train
+        # step normalizes on device (training/train_state.py) — 4x less
+        # host->device traffic.  Testing-split items keep the float
+        # convention (the eval programs expect [-1, 1] inputs).
+        if wire_dtype not in ("float32", "uint8"):
+            raise ValueError(f"wire_dtype={wire_dtype!r}: float32 or uint8")
+        self.wire_dtype = wire_dtype
         # the reference loads+crops every template IMAGE per test item
         # (shapeNet.py:287-300) purely for W&B visualization; that's ~26
         # full PNG decodes+warps per item, so it's opt-in here
@@ -308,6 +316,18 @@ class ShapeNetDataset:
         reference_path = self.sample_reference(query_path, index)
         query_pose = self.get_pose(query_path)
         ref_pose = self.get_pose(reference_path)
+        if not self.is_testing_split and self.wire_dtype == "uint8":
+            # raw uint8 crops over the wire; normalization happens on
+            # device inside the jitted train step
+            query = self._crop(self.open_image(query_path), query_pose)
+            reference = self._crop(self.open_image(reference_path), ref_pose)
+            rel, rel_inv = self._relative(query_pose, ref_pose)
+            return {
+                "query": query,
+                "reference": reference,
+                "relativeR": rel,
+                "relativeR_inv": rel_inv,
+            }
         query = self._transform(self._crop(self.open_image(query_path), query_pose))
         reference = self._transform(self._crop(self.open_image(reference_path), ref_pose))
         rel, rel_inv = self._relative(query_pose, ref_pose)

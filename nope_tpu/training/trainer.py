@@ -213,6 +213,14 @@ class Trainer:
 
             params = {"unet": state.unet_params, "vae": state.vae_params}
             name, batch = next(iter(batches.items()))
+
+            def f32(x):  # uint8 wire batches normalize on device in the
+                x = np.asarray(x)  # step; media grids normalize here
+                if x.dtype == np.uint8:
+                    return x.astype(np.float32) / 255.0 * 2.0 - 1.0
+                return x
+
+            batch = {k: f32(v) for k, v in batch.items()}
             _, pred_rgb = self.task.sample(
                 params, batch["reference"][:4], batch["relativeR"][:4], decode_rgb=True
             )

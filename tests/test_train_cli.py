@@ -81,6 +81,52 @@ def test_train_cli_main(train_root, tmp_path):
     assert osp.isdir(osp.join(exp_dir, "checkpoints"))
 
 
+def test_uint8_wire_format(train_root):
+    """wire_dtype='uint8' ships raw crops (4x less host->device traffic)
+    and the jitted step normalizes on device: items and the training
+    loss must match the float32 wire exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from nope_tpu.configs import load_config
+    from nope_tpu.data.pipeline import collate
+    from nope_tpu.data.shapenet import ShapeNetDataset
+    from nope_tpu.models.factory import build_task
+    from nope_tpu.training.optim import make_optimizer
+    from nope_tpu.training.train_state import create_train_state, make_train_step
+
+    ds_f = ShapeNetDataset(train_root, split="training", img_size=32)
+    ds_u = ShapeNetDataset(
+        train_root, split="training", img_size=32, wire_dtype="uint8"
+    )
+    it_f, it_u = ds_f[0], ds_u[0]
+    assert it_u["query"].dtype == np.uint8
+    assert it_f["query"].dtype == np.float32
+    np.testing.assert_allclose(
+        it_f["query"], it_u["query"].astype(np.float32) / 255.0 * 2.0 - 1.0,
+        atol=1e-7,
+    )
+    np.testing.assert_array_equal(it_f["relativeR"], it_u["relativeR"])
+
+    cfg = load_config(None, TINY_OVERRIDES)
+    task = build_task(cfg.model)
+    tx = make_optimizer(warm_up_steps=2)
+    state = create_train_state(task, tx, jax.random.key(0), image_size=32)
+    step = make_train_step(task, tx)
+    copy = lambda t: jax.tree.map(lambda x: jnp.array(x, copy=True), t)
+    losses = []
+    for ds in (ds_f, ds_u):
+        batch = {"ds": jax.tree.map(jnp.asarray, collate([ds[0], ds[1]]))}
+        _, m = step(copy(state), batch)
+        losses.append(float(m["loss/train_avg"]))
+    assert np.isclose(losses[0], losses[1], rtol=1e-6), losses
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="wire_dtype"):
+        ShapeNetDataset(train_root, split="training", wire_dtype="int4")
+
+
 def test_warm_start_from_torch_checkpoint(tmp_path):
     """_maybe_warm_start must port a reference-format torch .pth into the
     running params."""
