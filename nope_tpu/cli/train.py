@@ -110,7 +110,33 @@ def main(argv=None):
     params = {"unet": state.unet_params, "vae": state.vae_params}
     params = _maybe_warm_start(task, params, cfg)
     state = state._replace(unet_params=params["unet"], vae_params=params["vae"])
-    trainer.fit(state, max_steps=args.max_steps)
+    state = trainer.fit(state, max_steps=args.max_steps)
+
+    # end-of-run params-only exports: what serving/eval tooling loads
+    # (restore_params) without rebuilding the optimizer tree — the
+    # orbax analogue of the probes' --params-out.  With EMA on, the EMA
+    # stream exports alongside (diffusion-eval convention).
+    import jax
+
+    from nope_tpu.training.checkpoint import save_params
+
+    final_dir = os.path.join(cfg.save_dir, "checkpoints", "final_params")
+    save_params(
+        final_dir,
+        jax.device_get({"unet": state.unet_params, "vae": state.vae_params}),
+        overwrite=True,
+    )
+    logging.info("final params -> %s", final_dir)
+    if trainer.ema_params is not None:
+        ema_dir = os.path.join(cfg.save_dir, "checkpoints", "final_params_ema")
+        save_params(
+            ema_dir,
+            jax.device_get(
+                {"unet": trainer.ema_params, "vae": state.vae_params}
+            ),
+            overwrite=True,
+        )
+        logging.info("final EMA params -> %s", ema_dir)
     logging.info("training done")
 
 

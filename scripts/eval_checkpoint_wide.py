@@ -42,7 +42,11 @@ def _arg(name, default, cast=int):
 
 
 IMG = 256
-CKPT = _arg("--ckpt", "/tmp/probe256_params.npz", str)
+CKPT = _arg("--ckpt", "", str)          # probe --params-out npz format
+ORBAX = _arg("--orbax", "", str)        # params-only orbax dir
+                                        # (cli/train.py final_params /
+                                        # final_params_ema, or a
+                                        # Trainer best-checkpoint dir)
 PER_FAM = _arg("--per-fam", 4)
 N_QUERY = _arg("--queries", 12)
 
@@ -53,12 +57,25 @@ task = PoseConditionalTask(
     TaskConfig(),
 )
 _init = task.init(jax.random.key(2), image_size=IMG)
-with np.load(CKPT, allow_pickle=False) as z:
-    ckpt_step = int(z["probe_step"])
-    params_h = jax.tree.unflatten(
-        jax.tree.structure(cast_half({"unet": _init["unet"], "vae": _init["vae"]})),
-        [jnp.asarray(l) for l in load_params_leaves(z)],
+if ORBAX:
+    from nope_tpu.training.checkpoint import restore_params
+
+    CKPT = ORBAX
+    ckpt_step = -1  # orbax params-only dirs carry no step metadata
+    params_h = cast_half(
+        jax.device_put(
+            restore_params(
+                ORBAX, jax.device_get({"unet": _init["unet"], "vae": _init["vae"]})
+            )
+        )
     )
+else:
+    with np.load(CKPT, allow_pickle=False) as z:
+        ckpt_step = int(z["probe_step"])
+        params_h = jax.tree.unflatten(
+            jax.tree.structure(cast_half({"unet": _init["unet"], "vae": _init["vae"]})),
+            [jnp.asarray(l) for l in load_params_leaves(z)],
+        )
 print(f"loaded {CKPT} at step {ckpt_step}", flush=True)
 
 
