@@ -39,6 +39,12 @@ class OptimConfig:
     # jitted train step and evaluates/checkpoints the EMA stream
     # alongside the instantaneous one (trainer.py).
     ema_decay: float = 0.0
+    # >0: skip optimizer steps whose raw gradient global norm exceeds
+    # this factor times its running average — no param motion, no
+    # Adam-moment poisoning (optim.skip_spike_updates; the round-5
+    # mitigation for the measured single-step 1e5x gradient spikes
+    # behind the transient eval collapses, docs/PERFORMANCE.md).
+    skip_spike_factor: float = 0.0
 
 
 @dataclass

@@ -132,6 +132,9 @@ class Trainer:
             gamma=cfg.model.optim_config.gamma,
             steps_per_epoch=steps_per_epoch,
             clip_grad_norm=cfg.model.optim_config.clip_grad_norm,
+            skip_spike_factor=getattr(
+                cfg.model.optim_config, "skip_spike_factor", 0.0
+            ),
         )
         # LR stream for the metric log (LearningRateMonitor analogue,
         # configs/callback/lr/base.yaml)

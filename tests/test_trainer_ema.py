@@ -178,6 +178,65 @@ def test_checkpoint_ema_roundtrip(tmp_path):
     mgr2.close()
 
 
+def test_skip_spike_updates():
+    """A gradient spike above factor x running-norm must be skipped
+    outright: zero update, inner optimizer state untouched, and the
+    spike must not contaminate the anomaly reference (the next normal
+    step behaves as if the spike never happened)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from nope_tpu.training.optim import skip_spike_updates
+
+    tx = skip_spike_updates(
+        optax.adam(1e-2), factor=10.0, norm_ema=0.9, warmup_steps=3
+    )
+    params = {"w": jnp.zeros(4)}
+    state = tx.init(params)
+    g_normal = {"w": jnp.ones(4)}  # global norm 2.0
+
+    @jax.jit
+    def step(g, state):
+        return tx.update(g, state)
+
+    for _ in range(5):
+        upd, state = step(g_normal, state)
+        assert float(optax.global_norm(upd)) > 0.0
+    ref_state = state
+
+    g_spike = {"w": jnp.ones(4) * 5e4}
+    upd, state = step(g_spike, state)
+    assert float(optax.global_norm(upd)) == 0.0  # no param motion
+    # inner moments + norm EMA unchanged by the spike
+    for a, b in zip(jax.tree.leaves(state["inner"]),
+                    jax.tree.leaves(ref_state["inner"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(state["gnorm_ema"]) == float(ref_state["gnorm_ema"])
+
+    # normal steps resume exactly
+    upd, state = step(g_normal, state)
+    assert float(optax.global_norm(upd)) > 0.0
+
+    # during warmup nothing is skipped (the reference level is unformed)
+    state0 = tx.init(params)
+    upd, _ = step(g_spike, state0)
+    assert float(optax.global_norm(upd)) > 0.0
+
+    # make_optimizer wires the knob around the full chain
+    from nope_tpu.training.optim import make_optimizer
+
+    tx2 = make_optimizer(
+        base_lr=1e-3, warm_up_steps=1, clip_grad_norm=1.0,
+        skip_spike_factor=10.0,
+    )
+    s2 = tx2.init(params)
+    for _ in range(205):  # past the wrapper's warmup
+        u2, s2 = tx2.update(g_normal, s2, params)
+    u2, s2 = tx2.update(g_spike, s2, params)
+    assert float(optax.global_norm(u2)) == 0.0
+
+
 @pytest.fixture
 def make_trainer(tmp_path):
     def _make(extra_overrides, val_fn):
