@@ -73,6 +73,10 @@ def make_vae_pretrain_step(
         raise ValueError(f"recon_loss must be 'l1' or 'l2', got {recon_loss!r}")
 
     def loss_fn(params, images, sample_key):
+        if images.dtype == jnp.uint8:
+            # uint8 wire format (datasets with wire_dtype="uint8"):
+            # normalize on device, same convention as make_train_step
+            images = images.astype(jnp.float32) / 255.0 * 2.0 - 1.0
         apply_params, apply_images = params, images
         if half_precision:
             apply_params = cast_half(params)

@@ -131,11 +131,82 @@ def materialize_root(root, probe_ids, img_px=512):
     print(f"{root}: {len(sel)} objects done ({time.time()-t0:.0f}s)", flush=True)
 
 
+def add_val_objects(root, probe_ids, img_px=512):
+    """Additive: materialize ``probe_ids`` at the root's first
+    ``unseen_training`` ids (the 50-per-category slice the training
+    split skips), giving ``cli.train``'s validation loaders real
+    objects.  The probes' forever-held-out ids 24-27 are the natural
+    choice — the product val split then measures the same transfer the
+    probe's heldout-objects group does."""
+    from nope_tpu.data.shapenet import ShapeNetDataset
+
+    class Probe(ShapeNetDataset):
+        def _load_metadata(self):
+            self.selected = self._selected_object_ids()
+            self.query_paths = []
+
+    unseen = sorted(Probe(root, split="unseen_training").selected)
+    assert len(unseen) >= len(probe_ids)
+    grid = so3_grid.load_obj_poses(2)
+    upper_idx, _ = so3_grid.get_obj_poses_from_template_level(
+        2, "upper", return_index=True
+    )
+    t26 = so3_grid.load_index_level0_in_level2("upper")
+    R_all, R26 = grid[:, :3, :3], grid[t26, :3, :3]
+    cos = (np.einsum("nij,mij->nm", R_all, R26) - 1.0) / 2.0
+    snap = np.asarray(t26)[np.argmax(cos, axis=1)]
+    poses = grid.copy()
+    poses[:, :3, 3] *= 2.0
+    tmpl_poses = poses[snap]
+    q_poses = poses[t26]
+    view_of_gid = {int(g): j for j, g in enumerate(t26)}
+    for obj_id, probe_id in zip(unseen, probe_ids):
+        obj_dir = osp.join(root, "images", f"obj_{obj_id:06d}")
+        os.makedirs(obj_dir, exist_ok=True)
+        np.save(
+            osp.join(root, "object_query_poses", f"obj_{obj_id:06d}.npy"), q_poses
+        )
+        np.save(
+            osp.join(root, "object_template_poses", f"obj_{obj_id:06d}.npy"),
+            tmpl_poses,
+        )
+        pts, cols = make_points(probe_id)
+        for j in range(len(t26)):
+            Image.fromarray(
+                render_procedural(q_poses[j], pts, cols, img_px), "RGBA"
+            ).save(osp.join(obj_dir, f"query_{j:06d}.png"))
+        # unseen_training items sample references from reference_*.png
+        os.makedirs(osp.join(root, "object_reference_poses"), exist_ok=True)
+        np.save(
+            osp.join(root, "object_reference_poses", f"obj_{obj_id:06d}.npy"),
+            q_poses[:1],
+        )
+        os.link(
+            osp.join(obj_dir, "query_000000.png"),
+            osp.join(obj_dir, "reference_000000.png"),
+        )
+        for idx in upper_idx:
+            dst = osp.join(obj_dir, f"templates_{int(idx):06d}.png")
+            if not osp.exists(dst):
+                os.link(
+                    osp.join(
+                        obj_dir, f"query_{view_of_gid[int(snap[idx])]:06d}.png"
+                    ),
+                    dst,
+                )
+        print(f"{root}: val object {obj_id} <- probe {probe_id}", flush=True)
+
+
 def main():
     n_obj = int(_arg("--n-obj", 512))
     out_a = _arg("--out-a", "/tmp/product_rootA")
     out_b = _arg("--out-b", "/tmp/product_rootB")
     img_px = int(_arg("--img-px", 512))
+    if "--add-val-objs" in sys.argv:
+        # probes' forever-held-out objects as product val objects
+        add_val_objects(out_a, [24, 26], img_px)
+        add_val_objects(out_b, [25, 27], img_px)
+        return
     # the probes' id rule: 0..23 train, 24..27 held out forever, 28..
     train_ids = list(range(min(24, n_obj))) + list(
         range(28, 28 + max(0, n_obj - 24))
