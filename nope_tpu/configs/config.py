@@ -173,6 +173,12 @@ class DatasetConfig:
     # the wire, normalized on device inside the jitted step — 4x less
     # host->device traffic; mirrors serving's uint8 convention).
     wire_dtype: str = "float32"
+    # cache decoded+cropped views in host RAM (uint8, ~0.2 MB per 256px
+    # view).  PNG decode is the single-core host bottleneck (~40 ms per
+    # item vs ~0.5 ms cached); the reference re-decodes every epoch
+    # (shapeNet.py:184).  Off by default: only sized for roots that fit
+    # in RAM (e.g. 512 objects x 26 views ~= 2.6 GB).
+    cache_crops: bool = False
     # BOP extras
     template_dir: Optional[str] = None
     obj_ids: Optional[str] = None

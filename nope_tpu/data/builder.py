@@ -23,6 +23,7 @@ def build_dataset(cfg: DatasetConfig):
             img_size=cfg.img_size,
             load_gt_templates=cfg.load_gt_templates,
             wire_dtype=getattr(cfg, "wire_dtype", "float32"),
+            cache_crops=getattr(cfg, "cache_crops", False),
         )
     if cfg.name == "objaverse":
         from nope_tpu.data.objaverse import ObjaverseDataset

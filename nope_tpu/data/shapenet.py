@@ -101,6 +101,7 @@ class ShapeNetDataset:
         seed: int = _SPLIT_SEED,
         load_gt_templates: bool = False,
         wire_dtype: str = "float32",
+        cache_crops: bool = False,
     ):
         self.root_dir = root_dir
         self.split = split
@@ -120,6 +121,16 @@ class ShapeNetDataset:
         # (shapeNet.py:287-300) purely for W&B visualization; that's ~26
         # full PNG decodes+warps per item, so it's opt-in here
         self.load_gt_templates = load_gt_templates
+        # opt-in RAM cache of decoded+cropped uint8 views: the crop is a
+        # pure function of the path (its pose is the path's npy row), so
+        # each view decodes+warps once per process.  PNG decode is the
+        # single-core host bottleneck (~40 ms/item raw vs ~0.5 ms
+        # cached); the reference re-decodes from disk every epoch
+        # (shapeNet.py:184).  Plain dict: safe under the thread loader
+        # (GIL-atomic get/set; a race costs one duplicate decode).
+        self._crop_cache: Optional[Dict[str, np.ndarray]] = (
+            {} if cache_crops else None
+        )
         self.is_testing_split = split != "training"
         self._rng = random.Random(seed)
         self._item_seed = seed + 1
@@ -280,6 +291,16 @@ class ShapeNetDataset:
             virtual_bbox_size=1.0,
         )
 
+    def _cropped(self, path: str, pose: np.ndarray) -> np.ndarray:
+        """Decoded-and-cropped uint8 view of ``path`` (see cache_crops)."""
+        if self._crop_cache is None:
+            return self._crop(self.open_image(path), pose)
+        out = self._crop_cache.get(path)
+        if out is None:
+            out = self._crop(self.open_image(path), pose)
+            self._crop_cache[path] = out
+        return out
+
     def _transform(self, img: np.ndarray) -> np.ndarray:
         """uint8 HWC → float32 [-1, 1] NHWC-item (H, W, C)."""
         return (img.astype(np.float32) / 255.0) * 2.0 - 1.0
@@ -319,8 +340,8 @@ class ShapeNetDataset:
         if not self.is_testing_split and self.wire_dtype == "uint8":
             # raw uint8 crops over the wire; normalization happens on
             # device inside the jitted train step
-            query = self._crop(self.open_image(query_path), query_pose)
-            reference = self._crop(self.open_image(reference_path), ref_pose)
+            query = self._cropped(query_path, query_pose)
+            reference = self._cropped(reference_path, ref_pose)
             rel, rel_inv = self._relative(query_pose, ref_pose)
             return {
                 "query": query,
@@ -328,8 +349,8 @@ class ShapeNetDataset:
                 "relativeR": rel,
                 "relativeR_inv": rel_inv,
             }
-        query = self._transform(self._crop(self.open_image(query_path), query_pose))
-        reference = self._transform(self._crop(self.open_image(reference_path), ref_pose))
+        query = self._transform(self._cropped(query_path, query_pose))
+        reference = self._transform(self._cropped(reference_path, ref_pose))
         rel, rel_inv = self._relative(query_pose, ref_pose)
 
         if not self.is_testing_split:
@@ -347,9 +368,7 @@ class ShapeNetDataset:
             for idx in self.testing_indexes:
                 tpath = osp.join(obj_path, f"templates_{idx:06d}.png")
                 templates.append(
-                    self._transform(
-                        self._crop(self.open_image(tpath), self.get_pose(tpath))
-                    )
+                    self._transform(self._cropped(tpath, self.get_pose(tpath)))
                 )
         all_rel = np.stack(
             [

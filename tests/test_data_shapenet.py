@@ -193,3 +193,27 @@ def test_native_collate_path_matches_standard(tmp_path):
     )[0]
     np.testing.assert_allclose(fused, item["query"], atol=0.03)
     np.testing.assert_allclose(raw["relativeR"], item["gt_relativeR"], atol=1e-6)
+
+
+def test_cache_crops_identical_items_and_single_decode(mini_shapenet):
+    """cache_crops returns byte-identical items and decodes each view
+    only once per process (the single-core host loading lever used by
+    the flagship product-path run).  The cache sits in ``_cropped``,
+    shared by the uint8-wire, float32 and template item paths."""
+    kw = dict(split="unseen_training", img_size=IMG)
+    plain = ShapeNetDataset(mini_shapenet, **kw)
+    cached = ShapeNetDataset(mini_shapenet, cache_crops=True, **kw)
+    for i in (0, 1, len(plain) - 1):
+        a, b = plain[i], cached[i]
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+    assert plain._crop_cache is None and len(cached._crop_cache) > 0
+    # second pass over a cached item must not decode again
+    calls = []
+    orig = cached.open_image
+    cached.open_image = lambda p: (calls.append(p), orig(p))[1]
+    first = cached[0]
+    again = cached[0]
+    assert calls == []  # query + reference of item 0 were both cached
+    np.testing.assert_array_equal(again["query"], first["query"])
+    assert again["query"].dtype == np.float32  # transform applied post-cache
