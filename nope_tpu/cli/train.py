@@ -118,12 +118,12 @@ def main(argv=None):
     # stream exports alongside (diffusion-eval convention).
     import jax
 
-    from nope_tpu.training.checkpoint import save_params
+    from nope_tpu.training.checkpoint import fetch_sequential, save_params
 
     final_dir = os.path.join(cfg.save_dir, "checkpoints", "final_params")
     save_params(
         final_dir,
-        jax.device_get({"unet": state.unet_params, "vae": state.vae_params}),
+        fetch_sequential({"unet": state.unet_params, "vae": state.vae_params}),
         overwrite=True,
     )
     logging.info("final params -> %s", final_dir)
@@ -131,7 +131,7 @@ def main(argv=None):
         ema_dir = os.path.join(cfg.save_dir, "checkpoints", "final_params_ema")
         save_params(
             ema_dir,
-            jax.device_get(
+            fetch_sequential(
                 {"unet": trainer.ema_params, "vae": state.vae_params}
             ),
             overwrite=True,

@@ -14,6 +14,7 @@ import os
 from typing import Any, Optional
 
 import jax
+import numpy as np
 import orbax.checkpoint as ocp
 
 from nope_tpu.training.train_state import TrainState
@@ -108,6 +109,21 @@ class CheckpointManager:
 
     def close(self) -> None:
         self._mgr.close()
+
+
+def fetch_sequential(tree: Any) -> Any:
+    """Device→host fetch one leaf at a time (synchronous per leaf).
+
+    ``jax.device_get`` starts the async copy of EVERY leaf before
+    materializing any of them — a multi-GB burst for a full TrainState
+    (params + Adam moments ≈ 3x params).  On bandwidth-constrained or
+    proxied device links a burst that size can stall the transport
+    (observed on this project's tunnelled v5e: a ~2 GB whole-tree fetch
+    wedged the client permanently while fresh processes talked to the
+    chip fine).  Fetching leaf-by-leaf bounds in-flight bytes by the
+    largest single leaf (~85 MB here) at a negligible cost next to the
+    checkpoint's disk write."""
+    return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
 def save_params(path: str, params: Any, overwrite: bool = False) -> None:

@@ -22,7 +22,7 @@ from nope_tpu.configs.config import ExperimentConfig
 from nope_tpu.data.pipeline import CombinedLoader, device_prefetch
 from nope_tpu.parallel.mesh import create_mesh, data_sharding, replicate
 from nope_tpu.tasks.pose_conditional import PoseConditionalTask
-from nope_tpu.training.checkpoint import CheckpointManager
+from nope_tpu.training.checkpoint import CheckpointManager, fetch_sequential
 from nope_tpu.training.optim import make_optimizer
 from nope_tpu.training.train_state import TrainState, create_train_state, make_train_step
 
@@ -277,7 +277,7 @@ class Trainer:
         best_dir = os.path.join(self.cfg.save_dir, "checkpoints", "best")
         save_params(
             best_dir,
-            jax.device_get(
+            fetch_sequential(
                 {"unet": winner.unet_params, "vae": winner.vae_params}
             ),
             overwrite=True,
@@ -389,9 +389,12 @@ class Trainer:
                     self.logger.log(step, metrics)
 
                 if step % cfg.trainer.checkpoint_every_n_steps == 0:
+                    # leaf-at-a-time fetch: a whole-tree device_get of
+                    # the ~3x-params TrainState bursts multi-GB over the
+                    # device link (checkpoint.fetch_sequential)
                     self.ckpt.save(
-                        step, jax.device_get(state),
-                        ema_params=(jax.device_get(self.ema_params)
+                        step, fetch_sequential(state),
+                        ema_params=(fetch_sequential(self.ema_params)
                                     if self.ema_decay else None),
                     )
 
