@@ -130,6 +130,17 @@ def main(argv=None):
             break
         state, metrics = step_fn(state, images)
         step += 1
+        if step == 1:
+            # fetch to fence: on the tunnelled backend the first step
+            # blocks on a SERVER-side compile (the client persistent
+            # cache does not cover it) that can take minutes; surface
+            # it so a compile stall is distinguishable from a loader
+            # stall in the logs
+            np.asarray(metrics["recon"])
+            logging.info(
+                "first step done in %.1f s (server-side compile included)",
+                time.perf_counter() - t0,
+            )
         if step % args.log_every == 0 or step == args.steps:
             m = jax.tree.map(np.asarray, metrics)
             logging.info(

@@ -355,6 +355,7 @@ class Trainer:
             # bit-identical to an uninterrupted run
             # (tests/test_elastic_resume.py::test_resume_replays_exact_data_stream).
             self.combined.set_state(step)
+        first_step = step
         t_last = time.perf_counter()
         def shard(batches):
             return {
@@ -377,6 +378,17 @@ class Trainer:
                 else:
                     state, metrics = self.train_step(state, batches)
                 step = int(state.step)
+                if step == first_step + 1:
+                    # int(state.step) above fenced on the step result;
+                    # on the tunnelled backend the first step blocks on
+                    # a SERVER-side compile that can take minutes —
+                    # surface it so a compile stall is distinguishable
+                    # from a loader stall
+                    logging.info(
+                        "first step done in %.1f s (server-side compile "
+                        "included)", time.perf_counter() - t_last,
+                    )
+                    t_last = time.perf_counter()
 
                 if step % cfg.trainer.log_every_n_steps == 0:
                     now = time.perf_counter()
